@@ -1,0 +1,82 @@
+"""Synthetic multi-relation fraud graphs.
+
+The reference's datasets (YelpChi, Amazon, …) ship as preprocessed pickles
+that are not part of the repo; this module generates graphs with matching
+*shape statistics* (node counts, feature dims, fraud rates, multi-relation
+structure with self-loops) so every code path — including choose/pick and
+the metrics — can be exercised and benchmarked without the originals.
+
+Label signal: features are class-conditional Gaussians with configurable
+separation; edges are homophilous with probability ``homophily`` else
+uniform, so relational structure carries real signal for the aggregators.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pcgnn_tpu.graph.csr import MultiRelGraph, build_multirel, csr_from_edges
+
+# shape statistics of the reference datasets (SURVEY.md §6)
+PRESETS = {
+    # name: (num_nodes, feat_dim, fraud_rate, edges_per_relation, num_relations)
+    "yelp-like": (45954, 32, 0.145, (98630, 576724, 3402743), 3),
+    "amazon-like": (11944, 25, 0.069, (351216, 7132958, 2073474), 3),
+    "amazon_new-like": (9840, 25, 0.4, (301834, 600000, 400000), 3),
+    "tiny": (512, 16, 0.15, (2048, 3072, 1024), 3),
+    "small": (4096, 32, 0.1, (16384, 32768, 8192), 3),
+}
+
+
+def synthetic_fraud_graph(
+    preset: str | None = "tiny",
+    *,
+    num_nodes: int | None = None,
+    feat_dim: int | None = None,
+    fraud_rate: float | None = None,
+    edges_per_relation: tuple | None = None,
+    homophily: float = 0.5,
+    feature_separation: float = 1.0,
+    seed: int = 0,
+    threshold: float = 0.5,
+) -> MultiRelGraph:
+    if preset is not None:
+        n, f, rate, epr, _ = PRESETS[preset]
+        num_nodes = num_nodes or n
+        feat_dim = feat_dim or f
+        fraud_rate = fraud_rate if fraud_rate is not None else rate
+        edges_per_relation = edges_per_relation or epr
+    rng = np.random.default_rng(seed)
+    n = num_nodes
+
+    labels = (rng.random(n) < fraud_rate).astype(np.int64)
+    # class-conditional features: mean shifted along a random direction
+    direction = rng.normal(size=(feat_dim,))
+    direction /= np.linalg.norm(direction)
+    feats = rng.normal(size=(n, feat_dim)).astype(np.float32)
+    feats += (feature_separation * labels[:, None] * direction[None, :]).astype(
+        np.float32)
+
+    pos = np.flatnonzero(labels == 1)
+    neg = np.flatnonzero(labels == 0)
+
+    rels = []
+    all_src, all_dst = [], []
+    for e_count in edges_per_relation:
+        src = rng.integers(0, n, size=e_count)
+        homo_edge = rng.random(e_count) < homophily
+        # homophilous endpoints: same class as src; others uniform
+        dst_uniform = rng.integers(0, n, size=e_count)
+        dst_same = np.where(
+            labels[src] == 1,
+            pos[rng.integers(0, len(pos), size=e_count)] if len(pos) else dst_uniform,
+            neg[rng.integers(0, len(neg), size=e_count)] if len(neg) else dst_uniform,
+        )
+        dst = np.where(homo_edge, dst_same, dst_uniform)
+        rels.append(csr_from_edges(src, dst, n, threshold=threshold))
+        all_src.append(src)
+        all_dst.append(dst)
+
+    homo = csr_from_edges(
+        np.concatenate(all_src), np.concatenate(all_dst), n, threshold=threshold)
+    return build_multirel(rels, homo, feats, labels)

@@ -1,0 +1,190 @@
+"""Static padded CSR graph store.
+
+The reference stores each relation as a ``defaultdict(set)`` adjacency list
+(reference ``src/utils.py:226-254``) and re-derives neighbor lists with Python
+set operations on every minibatch (``src/layers.py:217-227``).  On TPU that is
+replaced by an immutable, statically-shaped CSR per relation, built once on the
+host; every epoch then runs as pure array programs.
+
+Per relation we keep:
+  * ``indptr [N+1]``  — row pointers.
+  * ``col    [E_pad]``— column (neighbor) ids, padded with ``N`` (a dummy id).
+  * ``row    [E_pad]``— row id per edge (CSR-expanded), padded with ``N``.
+  * ``deg    [N]``    — row degree (self-loops included, as in the reference).
+  * ``keff   [N]``    — number of neighbors the *choose* step keeps:
+        k      = ceil(threshold * deg)              (``src/layers.py:260-262``)
+        keff   = deg  if deg <= k + 1  else  k      (``src/layers.py:662-672``)
+    (the reference keeps *all* neighbors when ``len(neighs) <= num_sample+1``).
+  * ``dmax``          — max row degree (static pad width for batch windows).
+
+All arrays are ``jnp`` on device; construction helpers take numpy/scipy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RelGraph:
+    """One relation's static CSR. A pytree; safe to close over or pass to jit."""
+
+    indptr: jax.Array  # [N+1] int32
+    col: jax.Array     # [E_pad] int32, padding = N
+    row: jax.Array     # [E_pad] int32, padding = N
+    deg: jax.Array     # [N] int32
+    keff: jax.Array    # [N] int32
+    ksample: jax.Array  # [N] int32: ceil(threshold*deg) — oversample base count
+    num_nodes: int = dataclasses.field(metadata=dict(static=True))
+    num_edges: int = dataclasses.field(metadata=dict(static=True))
+    dmax: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def e_pad(self) -> int:
+        return self.col.shape[0]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MultiRelGraph:
+    """Multi-relation graph + node features/labels.
+
+    Mirrors the tuple returned by the reference loader
+    ``load_data -> (homo, relation_list, feat_data, labels)``
+    (``src/utils.py:66-210``) as one device-resident structure.
+    """
+
+    relations: tuple  # tuple[RelGraph, ...]
+    homo: RelGraph
+    features: jax.Array  # [N, F] float32
+    labels: jax.Array    # [N] int32
+
+    @property
+    def num_nodes(self) -> int:
+        return self.homo.num_nodes
+
+    @property
+    def num_relations(self) -> int:
+        return len(self.relations)
+
+    @property
+    def feat_dim(self) -> int:
+        return int(self.features.shape[1])
+
+
+def csr_from_edges(
+    src: np.ndarray,
+    dst: np.ndarray,
+    num_nodes: int,
+    *,
+    threshold: float = 0.5,
+    add_self_loops: bool = True,
+    symmetrize: bool = True,
+    edge_pad_multiple: int = 128,
+) -> RelGraph:
+    """Build a RelGraph from a raw edge list.
+
+    Reproduces the reference's offline prep ``sparse_to_adjlist``
+    (``src/utils.py:226-242``): add self-loops, symmetrize, dedupe
+    (set semantics), then lays the result out as padded CSR.
+    """
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    if symmetrize:
+        src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+    if add_self_loops:
+        loops = np.arange(num_nodes, dtype=np.int64)
+        src = np.concatenate([src, loops])
+        dst = np.concatenate([dst, loops])
+    # dedupe (adjacency sets in the reference collapse parallel edges)
+    key = src * num_nodes + dst
+    key = np.unique(key)
+    src = (key // num_nodes).astype(np.int64)
+    dst = (key % num_nodes).astype(np.int64)
+    # np.unique sorts, so (src, dst) is already in CSR order
+    deg = np.bincount(src, minlength=num_nodes).astype(np.int64)
+    indptr = np.zeros(num_nodes + 1, dtype=np.int64)
+    np.cumsum(deg, out=indptr[1:])
+    return _finalize(indptr, dst, src, num_nodes, threshold, edge_pad_multiple)
+
+
+def csr_from_scipy(mat, *, threshold: float = 0.5, add_self_loops: bool = True,
+                   symmetrize: bool = True, edge_pad_multiple: int = 128) -> RelGraph:
+    """Build a RelGraph from a scipy sparse matrix (values ignored)."""
+    coo = mat.tocoo()
+    return csr_from_edges(
+        coo.row, coo.col, mat.shape[0], threshold=threshold,
+        add_self_loops=add_self_loops, symmetrize=symmetrize,
+        edge_pad_multiple=edge_pad_multiple)
+
+
+def csr_from_adj_dict(adj: dict, num_nodes: int, *, threshold: float = 0.5,
+                      edge_pad_multiple: int = 128) -> RelGraph:
+    """Build a RelGraph from a reference-format adjacency dict of sets.
+
+    This ingests the pickled ``defaultdict(set)`` files the reference trains
+    from (``src/utils.py:79-135``). No self-loop/symmetry processing is done:
+    those files already contain both (``sparse_to_adjlist``).
+    """
+    deg = np.zeros(num_nodes, dtype=np.int64)
+    for n, neighs in adj.items():
+        deg[int(n)] = len(neighs)
+    indptr = np.zeros(num_nodes + 1, dtype=np.int64)
+    np.cumsum(deg, out=indptr[1:])
+    col = np.empty(int(indptr[-1]), dtype=np.int64)
+    for n, neighs in adj.items():
+        s, e = indptr[int(n)], indptr[int(n) + 1]
+        col[s:e] = sorted(int(x) for x in neighs)
+    row = np.repeat(np.arange(num_nodes, dtype=np.int64), deg)
+    return _finalize(indptr, col, row, num_nodes, threshold, edge_pad_multiple)
+
+
+def _finalize(indptr: np.ndarray, col: np.ndarray, row: np.ndarray,
+              num_nodes: int, threshold: float, edge_pad_multiple: int) -> RelGraph:
+    num_edges = int(indptr[-1])
+    deg = np.diff(indptr).astype(np.int32)
+    # choose keep-counts (see class docstring for the reference rule)
+    k = np.ceil(threshold * deg).astype(np.int32)
+    keff = np.where(deg <= k + 1, deg, k).astype(np.int32)
+    e_pad = max(_round_up(max(num_edges, 1), edge_pad_multiple), edge_pad_multiple)
+    col_p = np.full(e_pad, num_nodes, dtype=np.int32)
+    row_p = np.full(e_pad, num_nodes, dtype=np.int32)
+    col_p[:num_edges] = col
+    row_p[:num_edges] = row
+    dmax = int(deg.max()) if num_nodes else 0
+    return RelGraph(
+        indptr=jnp.asarray(indptr, dtype=jnp.int32),
+        col=jnp.asarray(col_p),
+        row=jnp.asarray(row_p),
+        deg=jnp.asarray(deg),
+        keff=jnp.asarray(keff),
+        ksample=jnp.asarray(k),
+        num_nodes=num_nodes,
+        num_edges=num_edges,
+        dmax=dmax,
+    )
+
+
+def build_multirel(
+    relations: Sequence[RelGraph],
+    homo: RelGraph,
+    features: np.ndarray,
+    labels: np.ndarray,
+) -> MultiRelGraph:
+    return MultiRelGraph(
+        relations=tuple(relations),
+        homo=homo,
+        features=jnp.asarray(np.asarray(features), dtype=jnp.float32),
+        labels=jnp.asarray(np.asarray(labels), dtype=jnp.int32),
+    )

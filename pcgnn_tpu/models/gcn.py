@@ -1,0 +1,72 @@
+"""GCN baseline over the homogeneous relation.
+
+Reimplements ``GCN`` / ``GCNAggregator`` / ``GCNEncoder``
+(``src/graphsage.py:154-275``): batch-masked aggregation over *all*
+neighbors plus self, normalized by 1/sqrt(rowsum) (the reference's row-only
+approximation of symmetric normalization — column norm is commented out at
+``src/graphsage.py:224-226``), then ``embeds = ReLU(W agg^T)`` and a linear
+head; ``to_prob`` is a sigmoid (``src/graphsage.py:172-174``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pcgnn_tpu.graph.csr import MultiRelGraph
+from pcgnn_tpu.models.initializers import xavier_uniform
+from pcgnn_tpu.ops.aggregate import (
+    batch_neighbor_window,
+    masked_mean_aggregate,
+    scatter_batch_mask,
+)
+
+
+class GCN:
+    def __init__(self, feat_dim: int, emb_dim: int, num_classes: int = 2, **_):
+        self.feat_dim = feat_dim
+        self.emb_dim = emb_dim
+        self.num_classes = num_classes
+
+    def init(self, key: jax.Array) -> dict:
+        k1, k2 = jax.random.split(key)
+        return {
+            # GCNEncoder.weight is [emb, F] (src/graphsage.py:255-257);
+            # stored transposed here so the forward is x @ w.
+            "enc": {"w": xavier_uniform(k1, (self.feat_dim, self.emb_dim))},
+            "head": {"w": xavier_uniform(k2, (self.emb_dim, self.num_classes))},
+        }
+
+    def _aggregate(self, graph: MultiRelGraph, batch: jax.Array, norm: str):
+        rel = graph.homo
+        nbr, valid = batch_neighbor_window(rel, batch)
+        mask = scatter_batch_mask(graph.num_nodes, nbr, valid)
+        # self-union (src/graphsage.py:210); data already has self-loops but
+        # the reference unions unconditionally, so mirror that.
+        b_idx = jax.lax.broadcasted_iota(jnp.int32, (batch.shape[0], 1), 0)[:, 0]
+        mask = jnp.minimum(mask.at[b_idx, batch].add(1.0, mode="drop"), 1.0)
+        return masked_mean_aggregate(mask, graph.features, norm=norm)
+
+    def forward(self, params, graph: MultiRelGraph, batch: jax.Array,
+                batch_labels=None, *, train: bool = True, **_):
+        agg = self._aggregate(graph, batch, norm="sqrt")        # [B, F]
+        embeds = jax.nn.relu(jnp.dot(agg, params["enc"]["w"],
+                                     preferred_element_type=jnp.float32))
+        logits = jnp.dot(embeds, params["head"]["w"],
+                         preferred_element_type=jnp.float32)
+        return logits, None
+
+    def to_prob(self, params, graph, batch, *, train: bool = False, **kw):
+        logits, _ = self.forward(params, graph, batch, train=train, **kw)
+        return jax.nn.sigmoid(logits), None
+
+    def loss(self, params, graph, batch, batch_labels,
+             batch_weight: Optional[jax.Array] = None, **_):
+        logits, _ = self.forward(params, graph, batch, batch_labels, train=True)
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, batch_labels)
+        if batch_weight is None:
+            batch_weight = jnp.ones_like(ce)
+        return jnp.sum(ce * batch_weight) / jnp.maximum(jnp.sum(batch_weight), 1.0)

@@ -1,0 +1,77 @@
+"""GraphSAGE baseline over the homogeneous relation.
+
+Reimplements ``GraphSage`` / ``MeanAggregator`` / ``Encoder``
+(``src/graphsage.py:16-150``) as configured by the reference trainer:
+``gcn=True`` (``src/model_handler.py:96-98``), which means self-loop union,
+mean aggregation, *no* self-concat, and no neighbor subsampling (the
+aggregator is called without ``num_sample``, ``src/graphsage.py:133``).
+
+``to_prob`` in the reference calls ``F.log_softmax(..., dim=2)`` on a 2-D
+tensor (``src/graphsage.py:33-35``) — invalid for the active eval path; here
+it returns softmax probabilities over the class axis, which is what the
+metric code consumes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pcgnn_tpu.graph.csr import MultiRelGraph
+from pcgnn_tpu.models.initializers import xavier_uniform
+from pcgnn_tpu.ops.aggregate import (
+    batch_neighbor_window,
+    masked_mean_aggregate,
+    scatter_batch_mask,
+)
+
+
+class GraphSage:
+    def __init__(self, feat_dim: int, emb_dim: int, num_classes: int = 2,
+                 gcn_style: bool = True, **_):
+        self.feat_dim = feat_dim
+        self.emb_dim = emb_dim
+        self.num_classes = num_classes
+        self.gcn_style = gcn_style
+
+    def init(self, key: jax.Array) -> dict:
+        k1, k2 = jax.random.split(key)
+        in_dim = self.feat_dim if self.gcn_style else 2 * self.feat_dim
+        return {
+            "enc": {"w": xavier_uniform(k1, (in_dim, self.emb_dim))},
+            "head": {"w": xavier_uniform(k2, (self.emb_dim, self.num_classes))},
+        }
+
+    def forward(self, params, graph: MultiRelGraph, batch: jax.Array,
+                batch_labels=None, *, train: bool = True, **_):
+        rel = graph.homo
+        nbr, valid = batch_neighbor_window(rel, batch)
+        mask = scatter_batch_mask(graph.num_nodes, nbr, valid)
+        if self.gcn_style:
+            b_idx = jax.lax.broadcasted_iota(jnp.int32, (batch.shape[0], 1), 0)[:, 0]
+            mask = jnp.minimum(mask.at[b_idx, batch].add(1.0, mode="drop"), 1.0)
+        neigh = masked_mean_aggregate(mask, graph.features, norm="mean")
+        if self.gcn_style:
+            combined = neigh
+        else:
+            combined = jnp.concatenate([graph.features[batch], neigh], axis=1)
+        embeds = jax.nn.relu(jnp.dot(combined, params["enc"]["w"],
+                                     preferred_element_type=jnp.float32))
+        logits = jnp.dot(embeds, params["head"]["w"],
+                         preferred_element_type=jnp.float32)
+        return logits, None
+
+    def to_prob(self, params, graph, batch, *, train: bool = False, **kw):
+        logits, _ = self.forward(params, graph, batch, train=train, **kw)
+        return jax.nn.softmax(logits, axis=-1), None
+
+    def loss(self, params, graph, batch, batch_labels,
+             batch_weight: Optional[jax.Array] = None, **_):
+        logits, _ = self.forward(params, graph, batch, batch_labels, train=True)
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, batch_labels)
+        if batch_weight is None:
+            batch_weight = jnp.ones_like(ce)
+        return jnp.sum(ce * batch_weight) / jnp.maximum(jnp.sum(batch_weight), 1.0)

@@ -1,0 +1,158 @@
+"""PC-GNN: one Pick-Choose-Aggregate layer, TPU-native.
+
+Reimplements the reference model stack —
+  * ``PCALayer``            (``src/model.py:13-62``)
+  * ``InterAgg1/3/5``       (``src/layers.py:16-535``; one class, any R here)
+  * ``IntraAgg``            (``src/layers.py:539-630``)
+  * ``choose_step_neighs`` / ``choose_step_test`` (``src/layers.py:633-738``)
+— as a single functional forward over static padded CSR relations.  The
+Python set unions, per-node sorts and host-built masks become fixed-shape
+gathers, double-argsort ranks and one dense-mask GEMM per relation
+(see ``ops.aggregate``).
+
+Math preserved (parity targets, SURVEY.md §7):
+  scores      = X W_clf + b                  (label-aware scores, [N, 2])
+  d(u,v)      = |scores[u,0] - scores[v,0]|  (choose distance)
+  keep        : per row, the keff nearest neighbors (keff folds the
+                keep-all-when-small rule), plus int(ceil(thr*deg)*rho)
+                nearest train positives for fraud-labeled centers (train)
+  h_r         = ReLU([x_v ; mean_{u kept} x_u] W_r)           (intra)
+  combined    = ReLU([x_v ; h_1 ; ... ; h_R] W_inter)         (inter)
+  gnn_logits  = combined W_head^T
+  loss        = CE(gnn_logits, y) + alpha * CE(scores[batch], y)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pcgnn_tpu.graph.csr import MultiRelGraph
+from pcgnn_tpu.models.initializers import torch_linear, xavier_uniform
+from pcgnn_tpu.ops.aggregate import (
+    batch_neighbor_window,
+    choose_keep_mask,
+    masked_mean_aggregate,
+    oversample_keep,
+    scatter_batch_mask,
+)
+
+
+class PCGNN:
+    """Functional PC-GNN. Hyperparameters are static; params are a pytree."""
+
+    def __init__(self, feat_dim: int, emb_dim: int, num_relations: int,
+                 alpha: float, rho: float, num_classes: int = 2):
+        self.feat_dim = feat_dim
+        self.emb_dim = emb_dim
+        self.num_relations = num_relations
+        self.alpha = float(alpha)   # lambda_1 in the paper, config key "alpha"
+        self.rho = float(rho)
+        self.num_classes = num_classes
+
+    def init(self, key: jax.Array) -> dict:
+        ks = jax.random.split(key, self.num_relations + 3)
+        params = {
+            "label_clf": torch_linear(ks[0], self.feat_dim, self.num_classes),
+            "intra": [
+                {"w": xavier_uniform(ks[1 + r], (2 * self.feat_dim, self.emb_dim))}
+                for r in range(self.num_relations)
+            ],
+            "inter": {
+                "w": xavier_uniform(
+                    ks[self.num_relations + 1],
+                    (self.feat_dim + self.num_relations * self.emb_dim, self.emb_dim))
+            },
+            "head": {"w": xavier_uniform(
+                ks[self.num_relations + 2], (self.emb_dim, self.num_classes))},
+        }
+        return params
+
+    # ------------------------------------------------------------------ #
+
+    def forward(
+        self,
+        params: dict,
+        graph: MultiRelGraph,
+        batch: jax.Array,
+        batch_labels: Optional[jax.Array],
+        *,
+        train: bool,
+        train_pos: Optional[jax.Array] = None,
+        train_pos_valid: Optional[jax.Array] = None,
+    ):
+        """Returns (gnn_logits [B, C], center_scores [B, C])."""
+        x = graph.features
+        n = graph.num_nodes
+
+        # label-aware scores for all nodes: tiny [N,F]x[F,2] matmul replaces
+        # the reference's per-batch unique-union gather (src/layers.py:226-237)
+        clf = params["label_clf"]
+        scores = jnp.dot(x, clf["w"], preferred_element_type=jnp.float32) + clf["b"]
+        s0_padded = jnp.concatenate([scores[:, 0], jnp.zeros((1,), scores.dtype)])
+
+        center_scores = scores[batch]                      # [B, C]
+        self_feats = x[batch]                              # [B, F]
+
+        rel_embs = []
+        for r, rel in enumerate(graph.relations):
+            nbr, valid = batch_neighbor_window(rel, batch)
+            keep = choose_keep_mask(rel, batch, nbr, valid, s0_padded)
+            if train:
+                keep_minor = oversample_keep(
+                    rel, batch, batch_labels, s0_padded,
+                    train_pos, train_pos_valid, self.rho)
+                mask = scatter_batch_mask(n, nbr, keep, train_pos, keep_minor)
+            else:
+                mask = scatter_batch_mask(n, nbr, keep)
+            agg = masked_mean_aggregate(mask, x, norm="mean")   # [B, F]
+            cat = jnp.concatenate([self_feats, agg], axis=1)    # [B, 2F]
+            h = jax.nn.relu(jnp.dot(cat, params["intra"][r]["w"],
+                                    preferred_element_type=jnp.float32))
+            rel_embs.append(h)
+
+        cat_all = jnp.concatenate([self_feats] + rel_embs, axis=1)
+        combined = jax.nn.relu(jnp.dot(cat_all, params["inter"]["w"],
+                                       preferred_element_type=jnp.float32))
+        gnn_logits = jnp.dot(combined, params["head"]["w"],
+                             preferred_element_type=jnp.float32)
+        return gnn_logits, center_scores
+
+    def to_prob(self, params, graph, batch, *, train: bool = False, **kw):
+        """Sigmoid scores of both heads (``src/model.py:41-45``)."""
+        gnn_logits, label_logits = self.forward(
+            params, graph, batch, None, train=train, **kw)
+        return jax.nn.sigmoid(gnn_logits), jax.nn.sigmoid(label_logits)
+
+    def loss(
+        self,
+        params: dict,
+        graph: MultiRelGraph,
+        batch: jax.Array,
+        batch_labels: jax.Array,
+        batch_weight: Optional[jax.Array] = None,
+        *,
+        train_pos: jax.Array,
+        train_pos_valid: jax.Array,
+    ) -> jax.Array:
+        """Joint loss L_gnn + alpha * L_simi (``src/model.py:47-62``).
+
+        ``batch_weight`` masks padded batch slots (weighted-mean CE so a
+        padded epoch-scan batch matches the reference's ragged last batch).
+        """
+        gnn_logits, center_scores = self.forward(
+            params, graph, batch, batch_labels, train=True,
+            train_pos=train_pos, train_pos_valid=train_pos_valid)
+        ce_gnn = optax.softmax_cross_entropy_with_integer_labels(
+            gnn_logits, batch_labels)
+        ce_label = optax.softmax_cross_entropy_with_integer_labels(
+            center_scores, batch_labels)
+        if batch_weight is None:
+            batch_weight = jnp.ones_like(ce_gnn)
+        denom = jnp.maximum(jnp.sum(batch_weight), 1.0)
+        gnn_loss = jnp.sum(ce_gnn * batch_weight) / denom
+        label_loss = jnp.sum(ce_label * batch_weight) / denom
+        return gnn_loss + self.alpha * label_loss

@@ -1,0 +1,184 @@
+"""Core TPU aggregation ops: batch neighbor windows, vectorized choose, and
+dense-mask GEMM aggregation.
+
+The reference implements neighbor selection with a Python loop over batch
+nodes, a per-node ``torch.sort``, and a host-built dense ``[B, U]`` mask
+(``src/layers.py:633-738`` and ``src/layers.py:594-624``).  Here the whole
+batch is processed as fixed-shape array programs:
+
+  1. ``batch_neighbor_window``  — gather each batch row's CSR slice into a
+     padded ``[B, D]`` window (indices only; no feature traffic).
+  2. ``choose_keep_mask``       — per-edge L1 distance on the label-aware
+     score channel 0 (an SDDMM), exact per-row rank via double argsort, and
+     a boolean keep mask ``rank < keff`` that reproduces the reference's
+     top-p rule *including* its keep-all-when-small branch (folded into
+     ``keff`` at graph build time, see ``graph.csr``).
+  3. ``scatter_batch_mask``     — scatter kept (row, neighbor) pairs into a
+     dense ``[B, N]`` 0/1 matrix, clamped to 1.  The clamp reproduces the
+     reference's *set* semantics (duplicate neighbor/oversample entries
+     collapse, ``src/layers.py:694``).
+  4. ``masked_mean_aggregate``  — row-normalize and multiply against the
+     full feature table: one ``[B,N] @ [N,F]`` matmul on the MXU, the exact
+     array form of the reference's ``mask.div(num_neigh).mm(embed_matrix)``
+     (``src/layers.py:612-624``).
+
+Selection is intentionally non-differentiable (as in the reference, where
+gradients reach ``label_clf`` only through the similarity loss).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pcgnn_tpu.graph.csr import RelGraph
+
+_INF = jnp.float32(jnp.inf)
+
+
+def batch_neighbor_window(rel: RelGraph, batch: jax.Array):
+    """Gather the CSR neighbor window for a batch of rows.
+
+    Args:
+      rel: relation graph.
+      batch: [B] int32 node ids (may contain duplicates: the pick sampler
+        draws with replacement, ``src/utils.py:278``).
+
+    Returns:
+      nbr:   [B, D] int32 neighbor ids, padding slots = ``rel.num_nodes``.
+      valid: [B, D] bool, True where the slot holds a real neighbor.
+    """
+    d = max(rel.dmax, 1)
+    starts = rel.indptr[batch]                       # [B]
+    degs = rel.deg[batch]                            # [B]
+    offs = jax.lax.broadcasted_iota(jnp.int32, (batch.shape[0], d), 1)
+    valid = offs < degs[:, None]
+    pos = jnp.where(valid, starts[:, None] + offs, 0)
+    nbr = jnp.where(valid, rel.col[pos], rel.num_nodes)
+    return nbr, valid
+
+
+def row_ranks(dist: jax.Array) -> jax.Array:
+    """Exact per-row ascending rank of ``dist`` (ties broken by column index).
+
+    rank[b, j] = |{j' : dist[b,j'] < dist[b,j] or (== and j' < j)}|.
+    Implemented as argsort-of-argsort; both sorts are stable.
+    """
+    order = jnp.argsort(dist, axis=-1, stable=True)
+    return jnp.argsort(order, axis=-1, stable=True).astype(jnp.int32)
+
+
+def choose_keep_mask(
+    rel: RelGraph,
+    batch: jax.Array,
+    nbr: jax.Array,
+    valid: jax.Array,
+    s0_padded: jax.Array,
+) -> jax.Array:
+    """The *choose* step: keep each row's ``keff`` nearest neighbors.
+
+    Distance is the L1 difference of label-aware score channel 0 between the
+    center and the neighbor (``src/layers.py:655-658``).  ``s0_padded`` is
+    ``[N+1]`` (one dummy row for padding ids).
+
+    Returns keep: [B, D] bool.
+    """
+    center = s0_padded[batch]                     # [B]
+    d = jnp.abs(center[:, None] - s0_padded[nbr])  # SDDMM over the window
+    d = jnp.where(valid, d, _INF)
+    rank = row_ranks(d)
+    keff = rel.keff[batch]                        # [B]
+    return valid & (rank < keff[:, None])
+
+
+def oversample_keep(
+    rel: RelGraph,
+    batch: jax.Array,
+    batch_labels: jax.Array,
+    s0_padded: jax.Array,
+    train_pos: jax.Array,
+    train_pos_valid: jax.Array,
+    rho: float,
+) -> jax.Array:
+    """Minority-class oversampling for fraud-labeled centers.
+
+    For each batch row with label 1, pick the ``int(ksample * rho)`` training
+    positives whose label-aware scores are nearest to the center
+    (``src/layers.py:675-691``). ``train_pos`` is a padded [P] id vector with
+    ``train_pos_valid`` marking real entries.
+
+    Returns keep_minor: [B, P] bool (columns index ``train_pos``).
+    """
+    center = s0_padded[batch]                               # [B]
+    d = jnp.abs(center[:, None] - s0_padded[train_pos])     # [B, P]
+    d = jnp.where(train_pos_valid[None, :], d, _INF)
+    rank = row_ranks(d)
+    # num_oversample uses the *unclamped* sample count ceil(thr*deg),
+    # not keff (``src/layers.py:653,681``).
+    m = jnp.floor(rel.ksample[batch].astype(jnp.float32) * rho).astype(jnp.int32)
+    is_fraud = (batch_labels == 1)
+    return train_pos_valid[None, :] & (rank < m[:, None]) & is_fraud[:, None]
+
+
+def scatter_batch_mask(
+    num_nodes: int,
+    nbr: jax.Array,
+    keep: jax.Array,
+    minor_ids: jax.Array | None = None,
+    keep_minor: jax.Array | None = None,
+) -> jax.Array:
+    """Scatter kept neighbors (and oversampled minors) into a dense [B, N]
+    0/1 mask with set semantics (duplicates clamp to 1)."""
+    b = nbr.shape[0]
+    mask = jnp.zeros((b, num_nodes + 1), dtype=jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, nbr.shape, 0)
+    mask = mask.at[rows, nbr].add(keep.astype(jnp.float32), mode="drop")
+    if minor_ids is not None:
+        rows_m = jax.lax.broadcasted_iota(jnp.int32, keep_minor.shape, 0)
+        cols_m = jnp.broadcast_to(minor_ids[None, :], keep_minor.shape)
+        mask = mask.at[rows_m, cols_m].add(keep_minor.astype(jnp.float32), mode="drop")
+    mask = jnp.minimum(mask, 1.0)
+    return mask[:, :num_nodes]
+
+
+def masked_mean_aggregate(mask: jax.Array, features: jax.Array,
+                          *, norm: str = "mean") -> jax.Array:
+    """Aggregate features through a dense [B, N] mask on the MXU.
+
+    norm='mean'  -> mask.div(rowsum)        (``src/layers.py:612-614``)
+    norm='sqrt'  -> mask.div(sqrt(rowsum))  (GCN, ``src/graphsage.py:224-226``)
+    """
+    cnt = jnp.sum(mask, axis=1, keepdims=True)
+    if norm == "mean":
+        denom = jnp.maximum(cnt, 1.0)
+    elif norm == "sqrt":
+        denom = jnp.sqrt(jnp.maximum(cnt, 1.0))
+    else:
+        raise ValueError(f"unknown norm {norm!r}")
+    mask = mask / denom
+    return jnp.dot(mask, features, preferred_element_type=jnp.float32)
+
+
+def segment_mean_spmm(rel: RelGraph, features: jax.Array,
+                      keep: jax.Array | None = None) -> jax.Array:
+    """Full-graph mean aggregation h[v] = mean_{u in N(v)} x[u] via
+    gather + sorted segment-sum over the flat edge list.
+
+    Used by the full-graph paths (large-scale benchmarks, SPMD edge
+    partitioning) where a [B, N] dense mask would not fit.  ``keep`` is an
+    optional [E_pad] bool edge filter.
+    """
+    n = rel.num_nodes
+    feats_pad = jnp.concatenate(
+        [features, jnp.zeros((1, features.shape[1]), features.dtype)], axis=0)
+    vals = feats_pad[rel.col]                                # [E_pad, F]
+    w = (rel.row < n)
+    if keep is not None:
+        w = w & keep
+    vals = vals * w[:, None].astype(features.dtype)
+    seg = jax.ops.segment_sum(vals, rel.row, num_segments=n + 1,
+                              indices_are_sorted=True)
+    cnt = jax.ops.segment_sum(w.astype(features.dtype), rel.row,
+                              num_segments=n + 1, indices_are_sorted=True)
+    out = seg[:n] / jnp.maximum(cnt[:n, None], 1.0)
+    return out

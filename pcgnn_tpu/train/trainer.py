@@ -1,0 +1,223 @@
+"""The training orchestrator — equivalent of the reference ``ModelHandler``
+(``src/model_handler.py:22-178``), redesigned so one jitted ``lax.scan``
+executes an entire epoch on device.
+
+Per epoch (reference ``train()``, ``src/model_handler.py:128-156``):
+  1. *pick* a label-balanced sample of 2·|train_pos| nodes (PC-GNN only),
+  2. shuffle, split into fixed-size batches (last batch padded + masked),
+  3. per batch: loss -> grads -> Adam update (torch-style L2 weight decay).
+
+Validation every ``valid_epochs`` with the reference's relative-gain model
+selection rule (``src/model_handler.py:162-169``), patience early stop
+(``:170-173``), and restore-best final test (``:175-178``).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pcgnn_tpu.data.loaders import NUM_UNLABELED, load_data
+from pcgnn_tpu.data.prep import normalize_features, pos_neg_split, stratified_splits
+from pcgnn_tpu.graph.csr import MultiRelGraph
+from pcgnn_tpu.models import build_model
+from pcgnn_tpu.sampling.pick import pick_probs, pick_step
+from pcgnn_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from pcgnn_tpu.train.metrics import evaluate
+from pcgnn_tpu.train.results import ResultManager
+
+
+def torch_adam(lr: float, weight_decay: float) -> optax.GradientTransformation:
+    """torch.optim.Adam semantics: L2 term added to the gradient *before*
+    the moment updates (not decoupled AdamW), betas=(0.9, 0.999), eps=1e-8
+    (``src/model_handler.py:124``)."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale(-lr),
+    )
+
+
+class Trainer:
+    def __init__(self, config: dict, graph: Optional[MultiRelGraph] = None,
+                 result: Optional[ResultManager] = None):
+        self.config = dict(config)
+        cfg = self.config
+        self.result = result if result is not None else ResultManager(cfg)
+
+        np.random.seed(cfg["seed"])
+
+        if graph is None:
+            graph = load_data(cfg["data_name"], cfg.get("data_prefix", "data/"),
+                              threshold=cfg.get("threshold", 0.5),
+                              graph_id=cfg.get("graph_id"), seed=cfg["seed"])
+        labels = np.asarray(graph.labels)
+
+        num_unlabeled = NUM_UNLABELED.get(cfg["data_name"], 0)
+        idx_train, idx_valid, idx_test = stratified_splits(
+            labels, cfg["train_ratio"], cfg["test_ratio"], cfg["seed"],
+            num_unlabeled=num_unlabeled)
+        y_train = labels[idx_train]
+        train_pos, train_neg = pos_neg_split(idx_train, y_train)
+
+        if cfg["data_name"].startswith("amazon"):
+            # amazon-family features are row-normalized (model_handler.py:59-60)
+            feats = normalize_features(np.asarray(graph.features))
+            graph = MultiRelGraph(relations=graph.relations, homo=graph.homo,
+                                  features=jnp.asarray(feats),
+                                  labels=graph.labels)
+
+        self.graph = graph
+        self.idx_train, self.idx_valid, self.idx_test = idx_train, idx_valid, idx_test
+        self.y_train = y_train
+        self.y_valid, self.y_test = labels[idx_valid], labels[idx_test]
+        self.train_pos, self.train_neg = train_pos, train_neg
+
+        model_name = cfg["model"].upper()
+        if model_name == "PCGNN":
+            self.model = build_model(
+                model_name, feat_dim=graph.feat_dim, emb_dim=cfg["emb_size"],
+                num_relations=graph.num_relations,
+                alpha=cfg.get("alpha", 2.0), rho=cfg.get("rho", 0.5))
+        else:
+            self.model = build_model(model_name, feat_dim=graph.feat_dim,
+                                     emb_dim=cfg["emb_size"])
+        self.model_name = model_name
+
+        self.tx = torch_adam(cfg["lr"], cfg["weight_decay"])
+
+        # static epoch plan
+        b = int(cfg["batch_size"])
+        if model_name == "PCGNN":
+            sample_size = 2 * len(train_pos)              # model_handler.py:130
+        else:
+            sample_size = len(idx_train)
+        self.sample_size = max(sample_size, 1)
+        self.num_batches = max(-(-self.sample_size // b), 1)
+        self.batch_size = b
+
+        # device-resident training constants
+        self.idx_train_dev = jnp.asarray(idx_train, jnp.int32)
+        deg_train = np.asarray(graph.homo.deg)[idx_train]
+        self.pick_weights = pick_probs(jnp.asarray(deg_train),
+                                       jnp.asarray(y_train))
+        self.train_pos_dev = jnp.asarray(
+            train_pos if len(train_pos) else np.zeros(1, np.int64), jnp.int32)
+        self.train_pos_valid = jnp.asarray(
+            np.ones(max(len(train_pos), 1), bool) if len(train_pos)
+            else np.zeros(1, bool))
+
+        self._build_steps()
+
+    # ------------------------------------------------------------------ #
+
+    def _build_steps(self):
+        model, graph = self.model, self.graph
+        tx = self.tx
+        b, nb, s = self.batch_size, self.num_batches, self.sample_size
+        padded = nb * b
+        labels_dev = graph.labels
+        tp, tpv = self.train_pos_dev, self.train_pos_valid
+        is_pcgnn = self.model_name == "PCGNN"
+
+        def loss_fn(params, batch, batch_labels, batch_weight):
+            if is_pcgnn:
+                return model.loss(params, graph, batch, batch_labels,
+                                  batch_weight, train_pos=tp, train_pos_valid=tpv)
+            return model.loss(params, graph, batch, batch_labels, batch_weight)
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def epoch_fn(params, opt_state, key):
+            key, k_pick, k_shuf = jax.random.split(key, 3)
+            if is_pcgnn:
+                sampled = pick_step(k_pick, self.idx_train_dev,
+                                    self.pick_weights, s)
+            else:
+                sampled = self.idx_train_dev
+            sampled = jax.random.permutation(k_shuf, sampled)
+            ids = jnp.concatenate(
+                [sampled, jnp.zeros((padded - s,), sampled.dtype)])
+            w = jnp.concatenate(
+                [jnp.ones((s,), jnp.float32), jnp.zeros((padded - s,), jnp.float32)])
+            batches = ids.reshape(nb, b)
+            weights = w.reshape(nb, b)
+
+            def step(carry, xs):
+                params, opt_state = carry
+                batch, bw = xs
+                y = labels_dev[batch]
+                loss, grads = jax.value_and_grad(loss_fn)(params, batch, y, bw)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                step, (params, opt_state), (batches, weights))
+            return params, opt_state, key, jnp.mean(losses)
+
+        @jax.jit
+        def predict_fn(params, batch):
+            probs, _ = model.to_prob(params, graph, batch, train=False,
+                                     **(dict(train_pos=tp, train_pos_valid=tpv)
+                                        if is_pcgnn else {}))
+            return probs
+
+        self.epoch_fn = epoch_fn
+        self.predict_fn = predict_fn
+
+    # ------------------------------------------------------------------ #
+
+    def train(self):
+        cfg = self.config
+        key = jax.random.key(cfg["seed"])
+        params = self.model.init(key)
+        opt_state = self.tx.init(params)
+
+        auc_best, f1_mac_best, epoch_best = 1e-10, 1e-10, 0
+        best_params = params
+        epoch_times = []
+        epoch = 0
+        for epoch in range(cfg["epochs"]):
+            t0 = time.time()
+            params, opt_state, key, loss = self.epoch_fn(params, opt_state, key)
+            jax.block_until_ready(loss)
+            epoch_times.append(time.time() - t0)
+
+            if (epoch + 1) % cfg["valid_epochs"] == 0:
+                print(f"Valid at epoch {epoch} (loss {float(loss):.4f}, "
+                      f"epoch_time {epoch_times[-1]*1e3:.1f}ms)")
+                res = evaluate(
+                    lambda nodes: self.predict_fn(params, nodes),
+                    self.idx_valid, self.y_valid, self.batch_size,
+                    result=self.result, epoch=epoch, epoch_best=epoch_best,
+                    flag="val")
+                gain_auc = (res.auc - auc_best) / auc_best
+                gain_f1 = (res.f1_macro - f1_mac_best) / f1_mac_best
+                if gain_auc + gain_f1 > 0:
+                    auc_best, f1_mac_best, epoch_best = res.auc, res.f1_macro, epoch
+                    best_params = jax.tree.map(lambda x: x.copy(), params)
+                    save_checkpoint(self.result.model_path, best_params)
+            if (epoch - epoch_best) > cfg["patience"]:
+                print(f"Early stopping at epoch {epoch}")
+                break
+
+        print(f"Restore model from epoch {epoch_best}")
+        try:
+            best_params = jax.tree.map(
+                jnp.asarray, load_checkpoint(self.result.model_path))
+        except FileNotFoundError:
+            pass  # no validation improvement was ever recorded
+        res = evaluate(
+            lambda nodes: self.predict_fn(best_params, nodes),
+            self.idx_test, self.y_test, self.batch_size,
+            result=self.result, epoch_best=epoch_best, flag="test")
+        self.result.save_predictions(res.anomaly_confidence, "anomaly_confidence")
+        self.best_params = best_params
+        self.epoch_times = epoch_times
+        return res.auc, res.recall, res.f1_macro

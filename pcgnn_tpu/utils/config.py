@@ -1,0 +1,83 @@
+"""Experiment configuration: schema defaults, validation, grid expansion.
+
+The active reference config path is a JSON file passed as
+``--exp_config_path`` (``main.py:86-90,150-154``) with the schema generated
+by ``generate_exp_config.ipynb``; list-valued entries expand into a meshgrid
+of runs (``main.py:107-144``).
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+from typing import List
+
+# reference schema + defaults (generate_exp_config.ipynb cell 2 and the
+# legacy argparse defaults at main.py:62-84)
+DEFAULTS = {
+    "seed": 72,
+    "data_name": "amazon",
+    "model": "PCGNN",
+    "train_ratio": 0.4,
+    "test_ratio": 0.67,
+    "emb_size": 64,
+    "lr": 0.01,
+    "weight_decay": 0.001,
+    "alpha": 2.0,
+    "rho": 0.5,
+    "epochs": 1000,
+    "valid_epochs": 10,
+    "batch_size": 1024,
+    "patience": 100,
+    "exp_num": 0,
+    # pcgnn_tpu additions
+    "data_prefix": "data/",
+    "threshold": 0.5,
+    "graph_id": None,
+    "num_devices": 1,
+}
+
+REQUIRED = ("data_name", "model")
+
+
+def load_config(path: str) -> dict:
+    with open(path) as f:
+        cfg = json.load(f)
+    return with_defaults(cfg)
+
+
+def with_defaults(cfg: dict) -> dict:
+    out = dict(DEFAULTS)
+    out.update(cfg)
+    for key in REQUIRED:
+        if out.get(key) is None:
+            raise ValueError(f"config missing required key {key!r}")
+    return out
+
+
+def grid(cfg: dict) -> List[dict]:
+    """Expand list-valued entries into the cross product of configs
+    (reference ``grid``, ``main.py:107-144``)."""
+    listed = {k: v for k, v in cfg.items() if isinstance(v, list)}
+    if not listed:
+        return [dict(cfg)]
+    fixed = {k: v for k, v in cfg.items() if not isinstance(v, list)}
+    keys = list(listed)
+    out = []
+    for combo in itertools.product(*(listed[k] for k in keys)):
+        c = dict(fixed)
+        c.update(dict(zip(keys, combo)))
+        out.append(c)
+    return out
+
+
+def print_config(config: dict) -> str:
+    """(``main.py:93-105``)"""
+    print("**************** MODEL CONFIGURATION ****************")
+    lines = ""
+    for key in sorted(config.keys()):
+        line = "{}{} -->   {}\n".format(key, " " * (24 - len(key)), config[key])
+        lines += line
+        print(line, end="")
+    print("**************** MODEL CONFIGURATION ****************")
+    return lines
