@@ -1,0 +1,102 @@
+"""Headline benchmark: PC-GNN training throughput on a YelpChi-scale graph.
+
+Prints ONE JSON line:
+  {"metric": "pcgnn_train_edges_per_s", "value": ..., "unit": "edges/s",
+   "vs_baseline": ...}
+
+value: neighbor-candidate edges processed per second by the *full* training
+step (pick -> choose -> aggregate forward + backward + Adam), summed over
+relations.  The reference never measured throughput (SURVEY.md §6), so
+``vs_baseline`` compares against this repo's measured emulation of the
+reference's per-node Python hot path on the same host
+(``benchmarks/measure_reference.py`` -> BASELINE_MEASURED.json); 1.0 if that
+file is absent.
+
+Extra keys (informational): epochs_per_hour, step_ms, auc snapshot of a
+short training run is NOT included here (see tests for quality gates).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="yelp-like")
+    ap.add_argument("--batch_size", type=int, default=1024)
+    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--emb_size", type=int, default=64)
+    args = ap.parse_args()
+
+    import jax
+
+    from pcgnn_tpu.train.trainer import Trainer
+
+    cfg = dict(seed=2, data_name=f"synthetic:{args.preset}", model="PCGNN",
+               train_ratio=0.4, test_ratio=0.67, emb_size=args.emb_size,
+               lr=0.01, weight_decay=0.001, alpha=2.0, rho=0.5,
+               epochs=args.epochs, valid_epochs=10 ** 9,  # no eval in bench
+               batch_size=args.batch_size, patience=10 ** 9, exp_num=0)
+
+    t = Trainer(cfg)
+    key = jax.random.key(0)
+    params = t.model.init(key)
+    opt_state = t.tx.init(params)
+
+    # expected candidate edges per epoch: pick draws S nodes from the
+    # pick distribution; each contributes deg_r(v) window slots per relation.
+    w = np.asarray(t.pick_weights, dtype=np.float64)
+    p = w / w.sum()
+    edges_per_sample = 0.0
+    for rel in t.graph.relations:
+        deg = np.asarray(rel.deg, dtype=np.float64)[t.idx_train]
+        edges_per_sample += float((p * deg).sum())
+    edges_per_epoch = edges_per_sample * t.sample_size
+
+    # warmup (compile)
+    params, opt_state, key, loss = t.epoch_fn(params, opt_state, key)
+    jax.block_until_ready(loss)
+    params, opt_state, key, loss = t.epoch_fn(params, opt_state, key)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for _ in range(args.epochs):
+        params, opt_state, key, loss = t.epoch_fn(params, opt_state, key)
+    jax.block_until_ready(loss)
+    dt = (time.perf_counter() - t0) / args.epochs
+
+    edges_per_s = edges_per_epoch / dt
+    epochs_per_hour = 3600.0 / dt
+    step_ms = dt / t.num_batches * 1e3
+
+    vs_baseline = 1.0
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE_MEASURED.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        ref = base.get("reference_edges_per_s")
+        if ref:
+            vs_baseline = edges_per_s / ref
+
+    print(json.dumps({
+        "metric": "pcgnn_train_edges_per_s",
+        "value": round(edges_per_s, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(vs_baseline, 3),
+        "epochs_per_hour": round(epochs_per_hour, 1),
+        "step_ms": round(step_ms, 2),
+        "preset": args.preset,
+        "batch_size": args.batch_size,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -91,7 +91,10 @@ class PCGNN:
         # label-aware scores for all nodes: tiny [N,F]x[F,2] matmul replaces
         # the reference's per-batch unique-union gather (src/layers.py:226-237)
         clf = params["label_clf"]
-        scores = jnp.dot(x, clf["w"], preferred_element_type=jnp.float32) + clf["b"]
+        # precision='highest': these two columns drive the choose *ranking*;
+        # bf16 rounding here would perturb neighbor selection for ~free gain
+        scores = jnp.dot(x, clf["w"], precision="highest",
+                         preferred_element_type=jnp.float32) + clf["b"]
         s0_padded = jnp.concatenate([scores[:, 0], jnp.zeros((1,), scores.dtype)])
 
         center_scores = scores[batch]                      # [B, C]

@@ -1,0 +1,117 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pcgnn_tpu.data.synthetic import synthetic_fraud_graph
+from pcgnn_tpu.graph.csr import csr_from_edges
+from pcgnn_tpu.ops.aggregate import (
+    batch_neighbor_window,
+    choose_keep_mask,
+    masked_mean_aggregate,
+    row_ranks,
+    scatter_batch_mask,
+    segment_mean_spmm,
+)
+from pcgnn_tpu.ops.sddmm import edge_abs_diff, edge_ranks_global
+
+
+def _tiny_graph():
+    return synthetic_fraud_graph("tiny", seed=1)
+
+
+def test_batch_neighbor_window_matches_csr():
+    g = _tiny_graph()
+    rel = g.relations[0]
+    indptr, col = np.asarray(rel.indptr), np.asarray(rel.col)
+    batch = jnp.asarray([0, 5, 17, 5], jnp.int32)  # includes a duplicate
+    nbr, valid = jax.jit(batch_neighbor_window, static_argnums=())(rel, batch)
+    nbr, valid = np.asarray(nbr), np.asarray(valid)
+    for i, v in enumerate([0, 5, 17, 5]):
+        expect = col[indptr[v]:indptr[v + 1]].tolist()
+        got = nbr[i][valid[i]].tolist()
+        assert got == expect
+        assert (nbr[i][~valid[i]] == rel.num_nodes).all()
+
+
+def test_row_ranks_exact():
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(16, 33)).astype(np.float32)
+    r = np.asarray(row_ranks(jnp.asarray(d)))
+    for i in range(16):
+        order = np.argsort(d[i], kind="stable")
+        expect = np.empty(33, dtype=int)
+        expect[order] = np.arange(33)
+        assert np.array_equal(r[i], expect)
+
+
+def test_row_ranks_tie_break_by_index():
+    d = jnp.asarray([[1.0, 0.5, 0.5, 0.0]])
+    r = np.asarray(row_ranks(d))[0]
+    assert r.tolist() == [3, 1, 2, 0]
+
+
+def test_scatter_mask_set_semantics():
+    nbr = jnp.asarray([[1, 2, 2, 5], [0, 5, 5, 5]], jnp.int32)
+    keep = jnp.asarray([[True, True, True, False], [True, False, False, False]])
+    mask = np.asarray(scatter_batch_mask(5, nbr, keep))
+    # column 5 is the padding sentinel and is sliced off
+    assert mask.shape == (2, 5)
+    assert mask[0].tolist() == [0, 1, 1, 0, 0]  # duplicate 2 clamps to 1
+    assert mask[1].tolist() == [1, 0, 0, 0, 0]
+
+
+def test_masked_mean_aggregate_matches_dense():
+    rng = np.random.default_rng(1)
+    mask = (rng.random((8, 20)) < 0.3).astype(np.float32)
+    x = rng.normal(size=(20, 7)).astype(np.float32)
+    got = np.asarray(masked_mean_aggregate(jnp.asarray(mask), jnp.asarray(x)))
+    cnt = np.maximum(mask.sum(1, keepdims=True), 1.0)
+    np.testing.assert_allclose(got, (mask / cnt) @ x, rtol=1e-5)
+    got_s = np.asarray(masked_mean_aggregate(jnp.asarray(mask), jnp.asarray(x),
+                                             norm="sqrt"))
+    np.testing.assert_allclose(got_s, (mask / np.sqrt(cnt)) @ x, rtol=1e-5)
+
+
+def test_segment_mean_spmm_matches_dense():
+    g = _tiny_graph()
+    rel = g.relations[1]
+    x = np.asarray(g.features)
+    out = np.asarray(segment_mean_spmm(rel, g.features))
+    indptr, col = np.asarray(rel.indptr), np.asarray(rel.col)
+    for v in [0, 3, 100, 511]:
+        neigh = col[indptr[v]:indptr[v + 1]]
+        np.testing.assert_allclose(out[v], x[neigh].mean(0), rtol=1e-5)
+
+
+def test_edge_abs_diff_and_global_ranks():
+    rel = csr_from_edges([0, 0, 1], [1, 2, 2], 4)
+    s0 = jnp.asarray([0.0, 1.0, 3.0, -2.0])
+    d = np.asarray(edge_abs_diff(rel, s0))
+    indptr = np.asarray(rel.indptr)
+    col = np.asarray(rel.col)
+    s = np.asarray(s0)
+    for v in range(4):
+        for e in range(indptr[v], indptr[v + 1]):
+            assert d[e] == abs(s[v] - s[col[e]])
+    assert np.isinf(d[rel.num_edges:]).all()
+
+    ranks = np.asarray(edge_ranks_global(rel, jnp.asarray(d)))
+    for v in range(4):
+        span = slice(indptr[v], indptr[v + 1])
+        expect = np.empty(indptr[v + 1] - indptr[v], dtype=int)
+        order = np.argsort(d[span], kind="stable")
+        expect[order] = np.arange(len(expect))
+        assert np.array_equal(ranks[span], expect)
+
+
+def test_choose_keep_mask_counts():
+    g = _tiny_graph()
+    rel = g.relations[0]
+    rng = np.random.default_rng(2)
+    s0 = jnp.asarray(
+        np.concatenate([rng.normal(size=g.num_nodes), [0.0]]).astype(np.float32))
+    batch = jnp.asarray(rng.integers(0, g.num_nodes, 32), jnp.int32)
+    nbr, valid = batch_neighbor_window(rel, batch)
+    keep = np.asarray(choose_keep_mask(rel, batch, nbr, valid, s0))
+    keff = np.asarray(rel.keff)[np.asarray(batch)]
+    assert np.array_equal(keep.sum(1), keff)

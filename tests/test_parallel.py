@@ -1,0 +1,112 @@
+"""SPMD tests on the virtual 8-device CPU mesh (conftest sets
+xla_force_host_platform_device_count=8)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pcgnn_tpu.data.synthetic import synthetic_fraud_graph
+from pcgnn_tpu.models import build_model
+from pcgnn_tpu.parallel.mesh import factor_mesh, make_mesh
+from pcgnn_tpu.parallel.spmd import (
+    make_spmd_train_step,
+    pad_graph_for_mesh,
+    shard_batch,
+    spmd_loss_fn,
+)
+from pcgnn_tpu.train.trainer import torch_adam
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    g = synthetic_fraud_graph("tiny", seed=4)
+    model = build_model("PCGNN", feat_dim=g.feat_dim, emb_dim=16,
+                        num_relations=3, alpha=2.0, rho=0.5)
+    params = model.init(jax.random.key(0))
+    labels = np.asarray(g.labels)
+    train_pos = np.flatnonzero(labels == 1)[:16]
+    tp = jnp.asarray(train_pos, jnp.int32)
+    tpv = jnp.ones(len(train_pos), bool)
+    return g, model, params, labels, tp, tpv
+
+
+@pytest.mark.parametrize("dd,dg", [(4, 2), (2, 4), (8, 1)])
+def test_spmd_loss_matches_single_device(setup, dd, dg):
+    g, model, params, labels, tp, tpv = setup
+    mesh = make_mesh(data=dd, graph=dg)
+    x_sharded, n_pad = pad_graph_for_mesh(g, mesh)
+    loss_fn = spmd_loss_fn(model, g, mesh, n_pad)
+
+    b = 8 * dd
+    batch = jnp.arange(b, dtype=jnp.int32)
+    y = jnp.asarray(labels[:b], jnp.int32)
+    w = jnp.ones((b,), jnp.float32)
+    batch_s, y_s, w_s = shard_batch(mesh, batch, y, w)
+
+    loss = loss_fn(params, x_sharded, batch_s, y_s, w_s, tp, tpv)
+    ref = model.loss(params, g, batch, y, train_pos=tp, train_pos_valid=tpv)
+    np.testing.assert_allclose(float(loss), float(ref), rtol=1e-4)
+
+
+def test_spmd_train_step_runs_and_updates(setup):
+    g, model, params, labels, tp, tpv = setup
+    dd, dg = factor_mesh(8)
+    mesh = make_mesh(data=dd, graph=dg)
+    x_sharded, n_pad = pad_graph_for_mesh(g, mesh)
+    tx = torch_adam(0.01, 0.001)
+    opt_state = tx.init(params)
+    step = make_spmd_train_step(model, g, mesh, tx, x_sharded, n_pad)
+
+    b = 8 * dd
+    batch, y, w = shard_batch(
+        mesh, jnp.arange(b, dtype=jnp.int32),
+        jnp.asarray(labels[:b], jnp.int32), jnp.ones((b,), jnp.float32))
+    p0 = jax.tree.map(lambda x: np.asarray(x).copy(), params)
+    # the step donates its params/opt_state buffers; pass fresh copies so the
+    # module-scoped fixture params survive for later tests
+    params_in = jax.tree.map(jnp.array, params)
+    params2, opt_state, loss = step(params_in, opt_state, batch, y, w, tp, tpv)
+    assert np.isfinite(float(loss))
+    moved = jax.tree.map(
+        lambda a, b_: float(np.abs(np.asarray(a) - b_).max()), params2, p0)
+    assert max(jax.tree.leaves(moved)) > 0, "params did not update"
+
+
+def test_spmd_grads_match_single_device(setup):
+    g, model, params, labels, tp, tpv = setup
+    mesh = make_mesh(data=2, graph=4)
+    x_sharded, n_pad = pad_graph_for_mesh(g, mesh)
+    loss_fn = spmd_loss_fn(model, g, mesh, n_pad)
+
+    b = 16
+    batch = jnp.arange(b, dtype=jnp.int32)
+    y = jnp.asarray(labels[:b], jnp.int32)
+    w = jnp.ones((b,), jnp.float32)
+    batch_s, y_s, w_s = shard_batch(mesh, batch, y, w)
+
+    g_spmd = jax.grad(
+        lambda p: loss_fn(p, x_sharded, batch_s, y_s, w_s, tp, tpv))(params)
+    g_ref = jax.grad(
+        lambda p: model.loss(p, g, batch, y,
+                             train_pos=tp, train_pos_valid=tpv))(params)
+    for a, b_ in zip(jax.tree.leaves(g_spmd), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-3, atol=2e-5)
+
+
+def test_dryrun_multichip_entry():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", os.path.join(os.path.dirname(__file__), "..",
+                                    "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
+
+    fn, args = mod.entry()
+    logits, center = jax.jit(fn)(*args)
+    assert logits.shape == (64, 2) and center.shape == (64, 2)
