@@ -49,6 +49,9 @@ class RelGraph:
     num_nodes: int = dataclasses.field(metadata=dict(static=True))
     num_edges: int = dataclasses.field(metadata=dict(static=True))
     dmax: int = dataclasses.field(metadata=dict(static=True))
+    # static bound on ksample over all nodes: sizes the compact oversample
+    # candidate window (ops.aggregate.oversample_candidates)
+    ksample_max: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def e_pad(self) -> int:
@@ -173,6 +176,7 @@ def _finalize(indptr: np.ndarray, col: np.ndarray, row: np.ndarray,
         num_nodes=num_nodes,
         num_edges=num_edges,
         dmax=dmax,
+        ksample_max=int(k.max()) if num_nodes else 0,
     )
 
 

@@ -20,8 +20,8 @@ from pcgnn_tpu.graph.csr import MultiRelGraph
 from pcgnn_tpu.models.initializers import xavier_uniform
 from pcgnn_tpu.ops.aggregate import (
     batch_neighbor_window,
-    masked_mean_aggregate,
-    scatter_batch_mask,
+    union_self_window,
+    window_mean_aggregate,
 )
 
 
@@ -43,12 +43,10 @@ class GCN:
     def _aggregate(self, graph: MultiRelGraph, batch: jax.Array, norm: str):
         rel = graph.homo
         nbr, valid = batch_neighbor_window(rel, batch)
-        mask = scatter_batch_mask(graph.num_nodes, nbr, valid)
-        # self-union (src/graphsage.py:210); data already has self-loops but
-        # the reference unions unconditionally, so mirror that.
-        b_idx = jax.lax.broadcasted_iota(jnp.int32, (batch.shape[0], 1), 0)[:, 0]
-        mask = jnp.minimum(mask.at[b_idx, batch].add(1.0, mode="drop"), 1.0)
-        return masked_mean_aggregate(mask, graph.features, norm=norm)
+        nbr, keep = union_self_window(nbr, valid, batch)  # src/graphsage.py:210
+        x = graph.features
+        x_padded = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)])
+        return window_mean_aggregate(nbr, keep, x_padded, norm=norm)
 
     def forward(self, params, graph: MultiRelGraph, batch: jax.Array,
                 batch_labels=None, *, train: bool = True, **_):

@@ -24,8 +24,8 @@ from pcgnn_tpu.graph.csr import MultiRelGraph
 from pcgnn_tpu.models.initializers import xavier_uniform
 from pcgnn_tpu.ops.aggregate import (
     batch_neighbor_window,
-    masked_mean_aggregate,
-    scatter_batch_mask,
+    union_self_window,
+    window_mean_aggregate,
 )
 
 
@@ -49,11 +49,11 @@ class GraphSage:
                 batch_labels=None, *, train: bool = True, **_):
         rel = graph.homo
         nbr, valid = batch_neighbor_window(rel, batch)
-        mask = scatter_batch_mask(graph.num_nodes, nbr, valid)
         if self.gcn_style:
-            b_idx = jax.lax.broadcasted_iota(jnp.int32, (batch.shape[0], 1), 0)[:, 0]
-            mask = jnp.minimum(mask.at[b_idx, batch].add(1.0, mode="drop"), 1.0)
-        neigh = masked_mean_aggregate(mask, graph.features, norm="mean")
+            nbr, valid = union_self_window(nbr, valid, batch)
+        x = graph.features
+        x_padded = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)])
+        neigh = window_mean_aggregate(nbr, valid, x_padded, norm="mean")
         if self.gcn_style:
             combined = neigh
         else:

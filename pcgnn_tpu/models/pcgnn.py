@@ -35,9 +35,10 @@ from pcgnn_tpu.models.initializers import torch_linear, xavier_uniform
 from pcgnn_tpu.ops.aggregate import (
     batch_neighbor_window,
     choose_keep_mask,
-    masked_mean_aggregate,
+    dedup_minor_keep,
+    oversample_candidates,
     oversample_keep,
-    scatter_batch_mask,
+    window_mean_aggregate,
 )
 
 
@@ -99,6 +100,18 @@ class PCGNN:
 
         center_scores = scores[batch]                      # [B, C]
         self_feats = x[batch]                              # [B, F]
+        x_padded = jnp.concatenate(
+            [x, jnp.zeros((1, x.shape[1]), x.dtype)])      # sentinel row N
+
+        if train:
+            # candidate ordering is relation-independent: sort once, keep the
+            # static-max compact window (RelGraph.ksample_max bounds any
+            # relation's int(ksample*rho) request)
+            m_max = max(1, min(
+                int(train_pos.shape[0]),
+                int(max(rel.ksample_max for rel in graph.relations) * self.rho)))
+            cand_ids, cand_valid = oversample_candidates(
+                batch, s0_padded, train_pos, train_pos_valid, m_max)
 
         rel_embs = []
         for r, rel in enumerate(graph.relations):
@@ -106,12 +119,13 @@ class PCGNN:
             keep = choose_keep_mask(rel, batch, nbr, valid, s0_padded)
             if train:
                 keep_minor = oversample_keep(
-                    rel, batch, batch_labels, s0_padded,
-                    train_pos, train_pos_valid, self.rho)
-                mask = scatter_batch_mask(n, nbr, keep, train_pos, keep_minor)
+                    rel, batch, batch_labels, cand_valid, self.rho)
+                keep_minor = dedup_minor_keep(nbr, keep, n, cand_ids,
+                                              keep_minor)
+                agg = window_mean_aggregate(nbr, keep, x_padded,
+                                            cand_ids, keep_minor)
             else:
-                mask = scatter_batch_mask(n, nbr, keep)
-            agg = masked_mean_aggregate(mask, x, norm="mean")   # [B, F]
+                agg = window_mean_aggregate(nbr, keep, x_padded)
             cat = jnp.concatenate([self_feats, agg], axis=1)    # [B, 2F]
             h = jax.nn.relu(jnp.dot(cat, params["intra"][r]["w"],
                                     preferred_element_type=jnp.float32))

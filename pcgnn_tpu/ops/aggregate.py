@@ -13,14 +13,17 @@ batch is processed as fixed-shape array programs:
      a boolean keep mask ``rank < keff`` that reproduces the reference's
      top-p rule *including* its keep-all-when-small branch (folded into
      ``keff`` at graph build time, see ``graph.csr``).
-  3. ``scatter_batch_mask``     — scatter kept (row, neighbor) pairs into a
-     dense ``[B, N]`` 0/1 matrix, clamped to 1.  The clamp reproduces the
-     reference's *set* semantics (duplicate neighbor/oversample entries
-     collapse, ``src/layers.py:694``).
-  4. ``masked_mean_aggregate``  — row-normalize and multiply against the
-     full feature table: one ``[B,N] @ [N,F]`` matmul on the MXU, the exact
-     array form of the reference's ``mask.div(num_neigh).mm(embed_matrix)``
-     (``src/layers.py:612-624``).
+  3. ``window_mean_aggregate``  — scatter-free gather + contraction mean
+     over the kept window (+ oversampled minors, exactly deduplicated by
+     ``dedup_minor_keep`` to reproduce the reference's *set* semantics,
+     ``src/layers.py:694``).  This is the production path: the feature
+     table is frozen, so no VJP through the gather exists and the whole
+     fwd+bwd is scatter-free (XLA TPU scatter-add was ~90% of step time).
+  4. ``scatter_batch_mask`` + ``masked_mean_aggregate`` — the dense
+     ``[B, N]`` mask/GEMM form of the reference's
+     ``mask.div(num_neigh).mm(embed_matrix)`` (``src/layers.py:612-624``);
+     kept as the cross-check oracle path and for future learned-feature
+     variants where gradients must flow into the feature table.
 
 Selection is intentionally non-differentiable (as in the reference, where
 gradients reach ``label_clf`` only through the similarity loss).
@@ -91,33 +94,53 @@ def choose_keep_mask(
     return valid & (rank < keff[:, None])
 
 
-def oversample_keep(
-    rel: RelGraph,
+def oversample_candidates(
     batch: jax.Array,
-    batch_labels: jax.Array,
     s0_padded: jax.Array,
     train_pos: jax.Array,
     train_pos_valid: jax.Array,
-    rho: float,
-) -> jax.Array:
-    """Minority-class oversampling for fraud-labeled centers.
+    m_max: int,
+):
+    """Per-row nearest training positives, compacted to the static bound.
 
-    For each batch row with label 1, pick the ``int(ksample * rho)`` training
-    positives whose label-aware scores are nearest to the center
-    (``src/layers.py:675-691``). ``train_pos`` is a padded [P] id vector with
-    ``train_pos_valid`` marking real entries.
+    The reference appends, for each fraud-labeled center, the
+    ``int(ceil(thr*deg)*rho)`` training positives nearest in label-aware
+    score (``src/layers.py:675-691``).  Since the *candidate ordering* is
+    relation-independent, it is computed once per step: one stable argsort
+    of the [B, P] distance matrix, truncated to ``m_max`` — the static
+    maximum any node of any relation can request (RelGraph.ksample_max·rho).
 
-    Returns keep_minor: [B, P] bool (columns index ``train_pos``).
+    Returns:
+      cand_ids:   [B, m_max] int32 nearest train_pos ids, ascending distance.
+      cand_valid: [B, m_max] bool (False where padding entries sorted in).
     """
     center = s0_padded[batch]                               # [B]
     d = jnp.abs(center[:, None] - s0_padded[train_pos])     # [B, P]
     d = jnp.where(train_pos_valid[None, :], d, _INF)
-    rank = row_ranks(d)
-    # num_oversample uses the *unclamped* sample count ceil(thr*deg),
-    # not keff (``src/layers.py:653,681``).
+    order = jnp.argsort(d, axis=1, stable=True)[:, :m_max]  # [B, M]
+    cand_ids = train_pos[order]
+    cand_valid = train_pos_valid[order]
+    return cand_ids, cand_valid
+
+
+def oversample_keep(
+    rel: RelGraph,
+    batch: jax.Array,
+    batch_labels: jax.Array,
+    cand_valid: jax.Array,
+    rho: float,
+) -> jax.Array:
+    """Keep mask over the compact candidate window: slot r is kept when
+    ``r < int(ksample * rho)`` and the center is fraud-labeled.
+    num_oversample uses the *unclamped* sample count ceil(thr*deg),
+    not keff (``src/layers.py:653,681``).
+
+    Returns keep_minor: [B, m_max] bool.
+    """
     m = jnp.floor(rel.ksample[batch].astype(jnp.float32) * rho).astype(jnp.int32)
+    slot = jax.lax.broadcasted_iota(jnp.int32, cand_valid.shape, 1)
     is_fraud = (batch_labels == 1)
-    return train_pos_valid[None, :] & (rank < m[:, None]) & is_fraud[:, None]
+    return cand_valid & (slot < m[:, None]) & is_fraud[:, None]
 
 
 def scatter_batch_mask(
@@ -157,6 +180,75 @@ def masked_mean_aggregate(mask: jax.Array, features: jax.Array,
         raise ValueError(f"unknown norm {norm!r}")
     mask = mask / denom
     return jnp.dot(mask, features, preferred_element_type=jnp.float32)
+
+
+def dedup_minor_keep(nbr: jax.Array, keep: jax.Array, sentinel: int,
+                     cand_ids: jax.Array, keep_minor: jax.Array) -> jax.Array:
+    """Drop oversampled candidates that are already kept neighbors.
+
+    The reference accumulates selected neighbors and oversampled minors into
+    one Python *set* (``src/layers.py:694``), so duplicates collapse.  The
+    gather-based aggregation path sums both groups, which would double-count;
+    this exact correction removes the overlap with one broadcast equality
+    over the compact window: [B, M, D] compares, fully VPU-vectorized (a
+    vmapped searchsorted lowered to a 50x slower scan loop on TPU).
+    """
+    kept_ids = jnp.where(keep, nbr, sentinel)                     # [B, D]
+    dup = jnp.any(cand_ids[:, :, None] == kept_ids[:, None, :], axis=2)
+    return keep_minor & ~dup
+
+
+def union_self_window(nbr: jax.Array, valid: jax.Array, batch: jax.Array):
+    """Append a self column to the neighbor window, active only where the
+    node is not already its own neighbor — the set-correct form of the
+    reference's unconditional self union (``src/graphsage.py:79,210``)."""
+    present = jnp.any((nbr == batch[:, None]) & valid, axis=1)
+    nbr2 = jnp.concatenate([nbr, batch[:, None]], axis=1)
+    keep2 = jnp.concatenate([valid, ~present[:, None]], axis=1)
+    return nbr2, keep2
+
+
+def window_mean_aggregate(
+    nbr: jax.Array,
+    keep: jax.Array,
+    features_padded: jax.Array,
+    minor_ids: jax.Array | None = None,
+    keep_minor: jax.Array | None = None,
+    *,
+    norm: str = "mean",
+) -> jax.Array:
+    """Scatter-free mean aggregation over the batch neighbor window.
+
+      agg[b] = ( Σ_j keep[b,j] · x[nbr[b,j]] + Σ_p keep_minor[b,p] · x[tp[p]] )
+               / (Σ keep + Σ keep_minor)
+
+    Mathematically identical to ``scatter_batch_mask`` +
+    ``masked_mean_aggregate`` *given* ``keep_minor`` already deduplicated
+    against kept neighbors (``dedup_minor_keep``), but with no scatter: on
+    TPU, XLA scatter-add dominated the training step (~90% of step time),
+    while this path is pure gather + contraction.  Valid because the feature
+    table is frozen (reference ``model_handler.py:86``: requires_grad=False),
+    so no VJP through the gather is ever needed.
+
+    ``features_padded`` is [N+1, F] with a zero row for the padding sentinel.
+    """
+    kf = keep.astype(features_padded.dtype)
+    num = jnp.einsum("bd,bdf->bf", kf, features_padded[nbr])
+    cnt = jnp.sum(kf, axis=1)
+    if minor_ids is not None:
+        km = keep_minor.astype(features_padded.dtype)
+        if minor_ids.ndim == 1:      # shared candidate vector [P]
+            num = num + jnp.einsum("bp,pf->bf", km, features_padded[minor_ids])
+        else:                        # per-row compact candidates [B, M]
+            num = num + jnp.einsum("bm,bmf->bf", km, features_padded[minor_ids])
+        cnt = cnt + jnp.sum(km, axis=1)
+    if norm == "mean":
+        denom = jnp.maximum(cnt, 1.0)
+    elif norm == "sqrt":  # GCN row normalization (src/graphsage.py:224-226)
+        denom = jnp.sqrt(jnp.maximum(cnt, 1.0))
+    else:
+        raise ValueError(f"unknown norm {norm!r}")
+    return num / denom[:, None]
 
 
 def segment_mean_spmm(rel: RelGraph, features: jax.Array,

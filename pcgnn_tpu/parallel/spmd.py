@@ -33,8 +33,9 @@ from pcgnn_tpu.models.pcgnn import PCGNN
 from pcgnn_tpu.ops.aggregate import (
     batch_neighbor_window,
     choose_keep_mask,
+    dedup_minor_keep,
+    oversample_candidates,
     oversample_keep,
-    row_ranks,
 )
 
 shard_map = jax.shard_map
@@ -54,15 +55,19 @@ def pad_graph_for_mesh(graph: MultiRelGraph, mesh: Mesh):
     return feats, n_pad
 
 
-def _block_scatter_mask(nbr, keep, col_lo, block):
-    """Scatter kept (row, neighbor) pairs whose neighbor falls in this
-    device's column block into a dense [B_local, block] 0/1 mask."""
-    local = nbr - col_lo
+def _block_partials(ids, keep, col_lo, block, x_local):
+    """Gather-based partial sums over this device's node-row block: returns
+    (partial_num [B, F], partial_cnt [B]) for the kept ids that fall in the
+    block.  Scatter-free (see ``ops.aggregate.window_mean_aggregate``)."""
+    local = ids - col_lo
     in_block = keep & (local >= 0) & (local < block)
-    local = jnp.clip(local, 0, block - 1)
-    rows = jax.lax.broadcasted_iota(jnp.int32, nbr.shape, 0)
-    mask = jnp.zeros((nbr.shape[0], block), jnp.float32)
-    return mask.at[rows, local].add(in_block.astype(jnp.float32))
+    w = in_block.astype(x_local.dtype)
+    xg = x_local[jnp.clip(local, 0, block - 1)]
+    if ids.ndim == 1:  # shared id vector (train_pos): [P] ids, [B, P] keep
+        num = jnp.einsum("bp,pf->bf", w, xg)
+    else:              # per-row windows: [B, D] ids
+        num = jnp.einsum("bd,bdf->bf", w, xg)
+    return num, jnp.sum(w, axis=-1)
 
 
 def spmd_loss_fn(model: PCGNN, graph: MultiRelGraph, mesh: Mesh, n_pad: int):
@@ -91,27 +96,28 @@ def spmd_loss_fn(model: PCGNN, graph: MultiRelGraph, mesh: Mesh, n_pad: int):
             x_local[jnp.clip(local_ids, 0, block - 1)], 0.0)
         self_feats = jax.lax.psum(self_part, "graph")          # [Bd, F]
 
+        m_max = max(1, min(
+            int(train_pos.shape[0]),
+            int(max(rel.ksample_max for rel in relations) * model.rho)))
+        cand_ids, cand_valid = oversample_candidates(
+            batch, s0_padded, train_pos, train_pos_valid, m_max)
+
         rel_embs = []
         for r, rel in enumerate(relations):
             nbr, valid = batch_neighbor_window(rel, batch)
             keep = choose_keep_mask(rel, batch, nbr, valid, s0_padded)
-            mask = _block_scatter_mask(nbr, keep, col_lo, block)
-            # oversampled minority positives for fraud centers
-            keep_minor = oversample_keep(
-                rel, batch, y, s0_padded, train_pos, train_pos_valid, model.rho)
-            minor_local = train_pos - col_lo
-            minor_in = (keep_minor & (minor_local >= 0)[None, :]
-                        & (minor_local < block)[None, :])
-            rows_m = jax.lax.broadcasted_iota(jnp.int32, keep_minor.shape, 0)
-            cols_m = jnp.broadcast_to(
-                jnp.clip(minor_local, 0, block - 1)[None, :], keep_minor.shape)
-            mask = mask.at[rows_m, cols_m].add(minor_in.astype(jnp.float32))
-            mask = jnp.minimum(mask, 1.0)                     # set semantics
+            # oversampled minority positives for fraud centers, deduplicated
+            # against kept neighbors (set semantics, src/layers.py:694)
+            keep_minor = oversample_keep(rel, batch, y, cand_valid, model.rho)
+            keep_minor = dedup_minor_keep(nbr, keep, rel.num_nodes,
+                                          cand_ids, keep_minor)
 
-            cnt = jax.lax.psum(jnp.sum(mask, axis=1), "graph")  # [Bd]
-            part = jnp.dot(mask, x_local,
-                           preferred_element_type=jnp.float32)  # [Bd, F]
-            agg = jax.lax.psum(part, "graph") / jnp.maximum(cnt, 1.0)[:, None]
+            num_n, cnt_n = _block_partials(nbr, keep, col_lo, block, x_local)
+            num_m, cnt_m = _block_partials(cand_ids, keep_minor, col_lo,
+                                           block, x_local)
+            num = jax.lax.psum(num_n + num_m, "graph")          # [Bd, F]
+            cnt = jax.lax.psum(cnt_n + cnt_m, "graph")          # [Bd]
+            agg = num / jnp.maximum(cnt, 1.0)[:, None]
 
             cat = jnp.concatenate([self_feats, agg], axis=1)
             h = jax.nn.relu(jnp.dot(cat, params["intra"][r]["w"],

@@ -104,6 +104,40 @@ def test_edge_abs_diff_and_global_ranks():
         assert np.array_equal(ranks[span], expect)
 
 
+def test_window_aggregate_matches_scatter_path():
+    """The scatter-free gather path must equal the dense-mask GEMM path,
+    including minor oversampling with set-dedup."""
+    from pcgnn_tpu.ops.aggregate import dedup_minor_keep, window_mean_aggregate
+
+    rng = np.random.default_rng(3)
+    n, b, d, p, f = 30, 6, 5, 8, 4
+    nbr = jnp.asarray(rng.integers(0, n, (b, d)), jnp.int32)
+    keep = jnp.asarray(rng.random((b, d)) < 0.6)
+    minor_ids = jnp.asarray(rng.choice(n, p, replace=False), jnp.int32)
+    keep_minor = jnp.asarray(rng.random((b, p)) < 0.5)
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    x_padded = jnp.asarray(np.vstack([x, np.zeros((1, f), np.float32)]))
+
+    mask = scatter_batch_mask(n, nbr, keep, minor_ids, keep_minor)
+    want = np.asarray(masked_mean_aggregate(mask, jnp.asarray(x)))
+
+    cand_ids = jnp.broadcast_to(minor_ids[None, :], (b, p))
+    km = dedup_minor_keep(nbr, keep, n, cand_ids, keep_minor)
+    got = np.asarray(window_mean_aggregate(nbr, keep, x_padded, cand_ids, km))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_union_self_window_no_double_count():
+    from pcgnn_tpu.ops.aggregate import union_self_window
+
+    nbr = jnp.asarray([[0, 1, 9], [2, 3, 9]], jnp.int32)  # 9 = sentinel
+    valid = jnp.asarray([[True, True, False], [True, True, False]])
+    batch = jnp.asarray([0, 7], jnp.int32)  # 0 already own neighbor; 7 not
+    nbr2, keep2 = union_self_window(nbr, valid, batch)
+    assert not bool(keep2[0, -1])  # node 0: self already present
+    assert bool(keep2[1, -1]) and int(nbr2[1, -1]) == 7
+
+
 def test_choose_keep_mask_counts():
     g = _tiny_graph()
     rel = g.relations[0]
