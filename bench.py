@@ -45,8 +45,7 @@ def main():
                batch_size=args.batch_size, patience=10 ** 9, exp_num=0)
 
     t = Trainer(cfg)
-    key = jax.random.key(0)
-    params = t.model.init(key)
+    params = t.model.init(jax.random.key(0))
     opt_state = t.tx.init(params)
 
     # expected candidate edges per epoch: pick draws S nodes from the
@@ -60,14 +59,14 @@ def main():
     edges_per_epoch = edges_per_sample * t.sample_size
 
     # warmup (compile)
-    params, opt_state, key, loss = t.epoch_fn(params, opt_state, key)
+    params, opt_state, loss = t.epoch_fn(params, opt_state, 0)
     jax.block_until_ready(loss)
-    params, opt_state, key, loss = t.epoch_fn(params, opt_state, key)
+    params, opt_state, loss = t.epoch_fn(params, opt_state, 1)
     jax.block_until_ready(loss)
 
     t0 = time.perf_counter()
-    for _ in range(args.epochs):
-        params, opt_state, key, loss = t.epoch_fn(params, opt_state, key)
+    for e in range(args.epochs):
+        params, opt_state, loss = t.epoch_fn(params, opt_state, e + 2)
     jax.block_until_ready(loss)
     dt = (time.perf_counter() - t0) / args.epochs
 

@@ -17,11 +17,14 @@ from __future__ import annotations
 import json
 import math
 import os
+import sys
 import time
 
 import numpy as np
 import torch
 import torch.nn.functional as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 from pcgnn_tpu.data.prep import stratified_splits, pos_neg_split
 from pcgnn_tpu.data.synthetic import synthetic_fraud_graph

@@ -25,7 +25,14 @@ PRESETS = {
     "amazon_new-like": (9840, 25, 0.4, (301834, 600000, 400000), 3),
     "tiny": (512, 16, 0.15, (2048, 3072, 1024), 3),
     "small": (4096, 32, 0.1, (16384, 32768, 8192), 3),
+    # multi-host edge-partition stress (BASELINE.json config 5):
+    # 10M nodes / 200M edges; directed (no symmetrize) to keep E exact
+    "stress-10m": (10_000_000, 64, 0.05, (120_000_000, 60_000_000, 20_000_000), 3),
+    "stress-1m": (1_000_000, 64, 0.05, (12_000_000, 6_000_000, 2_000_000), 3),
 }
+
+# presets that skip symmetrization (edge counts stay exact at scale)
+_DIRECTED_PRESETS = {"stress-10m", "stress-1m"}
 
 
 def synthetic_fraud_graph(
@@ -60,6 +67,8 @@ def synthetic_fraud_graph(
     pos = np.flatnonzero(labels == 1)
     neg = np.flatnonzero(labels == 0)
 
+    symmetrize = preset not in _DIRECTED_PRESETS
+
     rels = []
     all_src, all_dst = [], []
     for e_count in edges_per_relation:
@@ -73,10 +82,12 @@ def synthetic_fraud_graph(
             neg[rng.integers(0, len(neg), size=e_count)] if len(neg) else dst_uniform,
         )
         dst = np.where(homo_edge, dst_same, dst_uniform)
-        rels.append(csr_from_edges(src, dst, n, threshold=threshold))
+        rels.append(csr_from_edges(src, dst, n, threshold=threshold,
+                                   symmetrize=symmetrize))
         all_src.append(src)
         all_dst.append(dst)
 
     homo = csr_from_edges(
-        np.concatenate(all_src), np.concatenate(all_dst), n, threshold=threshold)
+        np.concatenate(all_src), np.concatenate(all_dst), n,
+        threshold=threshold, symmetrize=symmetrize)
     return build_multirel(rels, homo, feats, labels)

@@ -117,9 +117,12 @@ def oversample_candidates(
     center = s0_padded[batch]                               # [B]
     d = jnp.abs(center[:, None] - s0_padded[train_pos])     # [B, P]
     d = jnp.where(train_pos_valid[None, :], d, _INF)
-    order = jnp.argsort(d, axis=1, stable=True)[:, :m_max]  # [B, M]
+    # top_k instead of a full argsort: P can be ~1e5+ at stress scale, and
+    # only the m_max nearest are ever used; ties resolve to the lowest index
+    # (same as a stable ascending sort).
+    neg_top, order = jax.lax.top_k(-d, m_max)               # [B, M]
     cand_ids = train_pos[order]
-    cand_valid = train_pos_valid[order]
+    cand_valid = train_pos_valid[order] & jnp.isfinite(neg_top)
     return cand_ids, cand_valid
 
 

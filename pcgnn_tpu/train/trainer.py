@@ -132,9 +132,14 @@ class Trainer:
                                   batch_weight, train_pos=tp, train_pos_valid=tpv)
             return model.loss(params, graph, batch, batch_labels, batch_weight)
 
+        base_key = jax.random.key(self.config["seed"])
+
         @partial(jax.jit, donate_argnums=(0, 1))
-        def epoch_fn(params, opt_state, key):
-            key, k_pick, k_shuf = jax.random.split(key, 3)
+        def epoch_fn(params, opt_state, epoch_idx):
+            # per-epoch key derived from (seed, epoch): deterministic and
+            # resumable without threading key state through checkpoints
+            key = jax.random.fold_in(base_key, epoch_idx)
+            k_pick, k_shuf = jax.random.split(key)
             if is_pcgnn:
                 sampled = pick_step(k_pick, self.idx_train_dev,
                                     self.pick_weights, s)
@@ -159,7 +164,7 @@ class Trainer:
 
             (params, opt_state), losses = jax.lax.scan(
                 step, (params, opt_state), (batches, weights))
-            return params, opt_state, key, jnp.mean(losses)
+            return params, opt_state, jnp.mean(losses)
 
         @jax.jit
         def predict_fn(params, batch):
@@ -173,21 +178,47 @@ class Trainer:
 
     # ------------------------------------------------------------------ #
 
+    def _resume_path(self) -> str:
+        cfg = self.config
+        tag = (f"resume-{cfg['model']}-{cfg['data_name'].replace(':', '_')}"
+               f"-seed{cfg['seed']}-tr{cfg['train_ratio']}")
+        import os
+        return os.path.join(self.result.dirs["models"], f"{tag}.ckpt")
+
     def train(self):
         cfg = self.config
-        key = jax.random.key(cfg["seed"])
-        params = self.model.init(key)
+        params = self.model.init(jax.random.key(cfg["seed"]))
         opt_state = self.tx.init(params)
-
         auc_best, f1_mac_best, epoch_best = 1e-10, 1e-10, 0
+        start_epoch = 0
+
+        # mid-training resume (params + optimizer state + selection state);
+        # the reference can only restore best-val params (model_handler:175)
+        if cfg.get("resume"):
+            try:
+                st = load_checkpoint(self._resume_path())
+                params = jax.tree.map(jnp.asarray, st["params"])
+                opt_state = jax.tree.map(jnp.asarray, st["opt_state"])
+                auc_best, f1_mac_best = st["auc_best"], st["f1_mac_best"]
+                epoch_best, start_epoch = st["epoch_best"], st["epoch"] + 1
+                print(f"Resumed from epoch {st['epoch']}")
+            except FileNotFoundError:
+                pass
+
+        profile_dir = cfg.get("profile_dir")
         best_params = params
         epoch_times = []
-        epoch = 0
-        for epoch in range(cfg["epochs"]):
+        epoch = start_epoch
+        for epoch in range(start_epoch, cfg["epochs"]):
+            if profile_dir and epoch == start_epoch + 2:
+                jax.profiler.start_trace(profile_dir)
             t0 = time.time()
-            params, opt_state, key, loss = self.epoch_fn(params, opt_state, key)
+            params, opt_state, loss = self.epoch_fn(params, opt_state, epoch)
             jax.block_until_ready(loss)
             epoch_times.append(time.time() - t0)
+            if profile_dir and epoch == start_epoch + 4:
+                jax.profiler.stop_trace()
+                profile_dir = None
 
             if (epoch + 1) % cfg["valid_epochs"] == 0:
                 print(f"Valid at epoch {epoch} (loss {float(loss):.4f}, "
@@ -203,6 +234,11 @@ class Trainer:
                     auc_best, f1_mac_best, epoch_best = res.auc, res.f1_macro, epoch
                     best_params = jax.tree.map(lambda x: x.copy(), params)
                     save_checkpoint(self.result.model_path, best_params)
+                if cfg.get("resume"):
+                    save_checkpoint(self._resume_path(), dict(
+                        params=params, opt_state=opt_state, epoch=epoch,
+                        auc_best=auc_best, f1_mac_best=f1_mac_best,
+                        epoch_best=epoch_best))
             if (epoch - epoch_best) > cfg["patience"]:
                 print(f"Early stopping at epoch {epoch}")
                 break

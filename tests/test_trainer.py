@@ -57,6 +57,22 @@ def test_epoch_plan_matches_reference():
             os.chdir(cwd)
 
 
+def test_resume_continues_training(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    cfg = _cfg(tmp_path, epochs=3, valid_epochs=1, resume=True)
+    t1 = Trainer(cfg)
+    t1.train()
+    # second run resumes from epoch 2 instead of restarting
+    t2 = Trainer(dict(cfg, epochs=5))
+    import os
+    assert os.path.exists(t2._resume_path())
+    t2.train()
+    # resume checkpoint advanced past the first run's last epoch
+    from pcgnn_tpu.train.checkpoint import load_checkpoint
+    st = load_checkpoint(t2._resume_path())
+    assert st["epoch"] == 4
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import jax.numpy as jnp
 
