@@ -1,0 +1,101 @@
+"""Quality benchmark: train PC-GNN + GCN + SAGE on reference-scale synthetic
+graphs over repeated seeds (the reference's verification protocol, SURVEY.md
+§4), and write RESULTS.md with mean±std AUC / F1-macro / GMean.
+
+Run: python benchmarks/quality_run.py [--seeds 2 3 5] [--epochs 300]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+SETTINGS = [
+    # (data, model, train_ratio, lr, wd, batch)
+    ("synthetic:yelp-like", "PCGNN", 0.4, 0.01, 0.001, 1024),
+    ("synthetic:yelp-like", "GCN", 0.4, 0.01, 0.001, 1024),
+    ("synthetic:yelp-like", "SAGE", 0.4, 0.01, 0.001, 1024),
+    ("synthetic:amazon-like", "PCGNN", 0.4, 0.005, 0.0005, 256),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, nargs="+", default=[2, 3, 5])
+    ap.add_argument("--epochs", type=int, default=300)
+    ap.add_argument("--valid_epochs", type=int, default=10)
+    ap.add_argument("--patience", type=int, default=100)
+    ap.add_argument("--out", default="RESULTS.md")
+    args = ap.parse_args()
+
+    from pcgnn_tpu.train.trainer import Trainer
+    from pcgnn_tpu.train.metrics import evaluate
+
+    rows = []
+    for data, model, tr, lr, wd, bs in SETTINGS:
+        aucs, f1s, gmeans, recalls, times = [], [], [], [], []
+        for seed in args.seeds:
+            cfg = dict(seed=seed, data_name=data, model=model, train_ratio=tr,
+                       test_ratio=0.67, emb_size=64, lr=lr, weight_decay=wd,
+                       alpha=2.0, rho=0.5, epochs=args.epochs,
+                       valid_epochs=args.valid_epochs, batch_size=bs,
+                       patience=args.patience, exp_num=0)
+            t0 = time.time()
+            t = Trainer(cfg)
+            auc, recall, f1 = t.train()
+            res = evaluate(lambda nodes: t.predict_fn(t.best_params, nodes),
+                           t.idx_test, t.y_test, bs, print_line=False)
+            aucs.append(auc)
+            f1s.append(f1)
+            recalls.append(recall)
+            gmeans.append(res.gmean)
+            times.append(time.time() - t0)
+            print(f"[{model} {data} seed={seed}] auc={auc:.4f} "
+                  f"f1_mac={f1:.4f} gmean={res.gmean:.4f} "
+                  f"({times[-1]:.0f}s)", flush=True)
+
+        def ms(xs):
+            return (float(np.mean(xs)),
+                    float(np.std(xs, ddof=1)) if len(xs) > 1 else 0.0)
+
+        rows.append(dict(data=data, model=model, train_ratio=tr,
+                         seeds=len(args.seeds),
+                         auc=ms(aucs), f1_macro=ms(f1s), gmean=ms(gmeans),
+                         recall=ms(recalls), sec_per_run=float(np.mean(times))))
+
+    lines = [
+        "# RESULTS — pcgnn_tpu quality runs (synthetic reference-scale graphs)",
+        "",
+        f"Device: single TPU; epochs<={args.epochs}, patience "
+        f"{args.patience}, valid every {args.valid_epochs}; "
+        f"seeds {args.seeds}.  Datasets are synthetic (the reference's "
+        "YelpChi/Amazon files are not redistributable); absolute numbers are "
+        "not comparable to BASELINE.md, the purpose is end-to-end capability "
+        "+ relative model behavior. See tests/test_reference_parity.py for "
+        "exact activation parity with the reference implementation.",
+        "",
+        "| data | model | AUC | F1-macro | GMean | Recall | s/run |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['data']} | {r['model']} | "
+            f"{r['auc'][0]:.4f}±{r['auc'][1]:.4f} | "
+            f"{r['f1_macro'][0]:.4f}±{r['f1_macro'][1]:.4f} | "
+            f"{r['gmean'][0]:.4f}±{r['gmean'][1]:.4f} | "
+            f"{r['recall'][0]:.4f}±{r['recall'][1]:.4f} | "
+            f"{r['sec_per_run']:.0f} |")
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps(rows, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Pallas TPU kernel: dense [B, N] selection-mask build.
+
+The mask-GEMM aggregation path (``ops.aggregate.scatter_batch_mask`` +
+``masked_mean_aggregate``) needs a dense 0/1 matrix with ones at each row's
+kept neighbors.  XLA lowers that scatter-add to a serialized update loop on
+TPU (~30ms per relation at YelpChi scale — it dominated the training step
+before the gather path replaced it).
+
+Mosaic has no scatter either (indexed stores into VMEM are unsupported), so
+the kernel inverts the data flow into pure VPU compares: grid over
+(row-tile, col-tile, slot-chunk); each step ORs
+``nbr[:, j:j+1] == col_ids`` over its chunk's slots into the revisited
+output block.  The slot loop is a static Python unroll — Mosaic supports
+unaligned *static* lane slices but not dynamic lane indexing.
+OR-accumulation collapses duplicate neighbor entries exactly like the
+reference's Python set union (``src/layers.py:594-608``).  Dropped slots
+are pre-masked to the ``num_nodes`` sentinel, which matches no real column.
+
+The production PC-GNN path is gather-based and does not need this kernel
+(features are frozen, see ``window_mean_aggregate``); it serves the
+mask-GEMM path, which stays the right formulation when gradients must flow
+into the feature table (learned embeddings / stacked layers).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _mask_kernel(nbr_ref, out_ref):
+    rows, slots = nbr_ref.shape
+    _, cols = out_ref.shape
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    col0 = pl.program_id(1) * cols
+    col_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+    acc = out_ref[:] != 0
+    for j in range(slots):                 # static unroll: vector compares
+        acc = acc | (nbr_ref[:, j:j + 1] == col_ids)
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_nodes", "rows_per_tile",
+                                             "cols_per_tile", "slot_chunk",
+                                             "interpret"))
+def build_batch_mask(nbr: jax.Array, keep: jax.Array, num_nodes: int,
+                     *, rows_per_tile: int = 8, cols_per_tile: int = 2048,
+                     slot_chunk: int = 128,
+                     interpret: bool = False) -> jax.Array:
+    """Dense [B, num_nodes] 0/1 mask with ones at kept (row, neighbor) slots.
+
+    Args:
+      nbr:  [B, D] int32 neighbor ids; padding slots hold ``num_nodes``.
+      keep: [B, D] bool.
+    """
+    b, d = nbr.shape
+    nbr = jnp.where(keep, nbr, num_nodes)  # fold keep into the sentinel
+    pad_rows = (-b) % rows_per_tile
+    if pad_rows:
+        nbr = jnp.concatenate(
+            [nbr, jnp.full((pad_rows, d), num_nodes, nbr.dtype)])
+    s = min(slot_chunk, d)
+    pad_slots = (-d) % s
+    if pad_slots:
+        nbr = jnp.pad(nbr, ((0, 0), (0, pad_slots)),
+                      constant_values=num_nodes)
+    bp, dp = nbr.shape
+    n_cols = ((num_nodes + cols_per_tile - 1) // cols_per_tile) * cols_per_tile
+
+    out = pl.pallas_call(
+        _mask_kernel,
+        grid=(bp // rows_per_tile, n_cols // cols_per_tile, dp // s),
+        in_specs=[
+            pl.BlockSpec((rows_per_tile, s), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows_per_tile, cols_per_tile),
+                               lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, n_cols), jnp.float32),
+        interpret=interpret,
+    )(nbr)
+    return out[:b, :num_nodes]
