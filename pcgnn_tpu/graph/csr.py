@@ -104,6 +104,14 @@ def csr_from_edges(
     """
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
+    from pcgnn_tpu import native
+    if native.available():
+        # multi-threaded C++ core: counting + per-row sorts, no global key sort
+        indptr, col, row = native.build_csr(
+            src, dst, num_nodes, symmetrize=symmetrize,
+            add_self_loops=add_self_loops)
+        return _finalize(indptr, col, row, num_nodes, threshold,
+                         edge_pad_multiple)
     if symmetrize:
         src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
     if add_self_loops:
