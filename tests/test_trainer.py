@@ -90,3 +90,24 @@ def test_grid_expansion():
     assert len(out) == 4
     assert all(o["b"] == "x" for o in out)
     assert {(o["a"], o["c"]) for o in out} == {(1, 3), (1, 4), (2, 3), (2, 4)}
+
+
+def test_legacy_log_layout(tmp_path):
+    # parity with the reference's older `log` class (src/utils.py:22-63):
+    # four append-only streams under log(data, model)/<stream>/<file>.log
+    from pcgnn_tpu.train import LegacyLog
+
+    lg = LegacyLog(model_name="PCGNN", data_name="yelp", root=str(tmp_path))
+    lg.write_train_log("t1", print_line=False)
+    lg.write_train_log("t2", print_line=False)
+    lg.write_valid_log("v1", print_line=False)
+    lg.write_test_log("x1", print_line=False)
+    lg.multi_run_log("m1", print_line=False)
+
+    base = tmp_path / "log(yelp, PCGNN)"
+    assert sorted(p.name for p in base.iterdir()) == [
+        "multiple-run", "test", "train", "valid"]
+    (train_file,) = (base / "train").iterdir()
+    assert train_file.read_text() == "t1\nt2\n"
+    (valid_file,) = (base / "valid").iterdir()
+    assert valid_file.read_text() == "v1\n"
