@@ -67,7 +67,10 @@ def _load_feats_labels(path: str, key_hints: Sequence[str]):
     if isinstance(obj, (list, tuple)):
         obj = obj[0]
     for key in key_hints:
-        store = obj[key] if key else obj
+        try:
+            store = obj[key] if key else obj
+        except (KeyError, TypeError, IndexError):
+            continue
         try:
             x, y = store["x"], store["y"]
         except (KeyError, TypeError, IndexError):

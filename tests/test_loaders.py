@@ -1,0 +1,128 @@
+"""Dataset loader tests against tiny fabricated reference-format files.
+
+The reference trains from (a) PyG-style ``torch.save`` feature/label files
+plus pickled ``defaultdict(set)`` adjacency lists (``src/utils.py:72-135``)
+and (b) ``.mat`` files converted offline (``src/data_process.py``).  These
+tests fabricate miniature files in those exact formats and load them through
+the public ``load_data`` / ``convert_mat`` surface.
+"""
+
+import os
+import pickle
+from collections import defaultdict
+
+import numpy as np
+import pytest
+
+from pcgnn_tpu.data.loaders import load_data, load_native, save_native
+
+
+def _write_pickled_dataset(base, fpref, rel_sufs, pt_name, n=12, f=4, seed=0):
+    """Fabricate a reference-format dataset directory."""
+    import torch
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(base, exist_ok=True)
+    x = rng.random((n, f)).astype(np.float32)
+    y = (rng.random(n) < 0.3).astype(np.int64)
+    torch.save({"x": torch.from_numpy(x), "y": torch.from_numpy(y)},
+               os.path.join(base, pt_name))
+
+    adjs = {}
+    for suf in ("homo",) + tuple(s for s in rel_sufs if s != "homo"):
+        adj = defaultdict(set)
+        for i in range(n):
+            adj[i].add(i)  # reference files contain self-loops
+            j = int(rng.integers(0, n))
+            adj[i].add(j)
+            adj[j].add(i)  # and are symmetric
+        adjs[suf] = adj
+        with open(os.path.join(base, f"{fpref}_{suf}_adjlists.pickle"),
+                  "wb") as fh:
+            pickle.dump(adj, fh)
+    return x, y, adjs
+
+
+@pytest.mark.parametrize("name,subdir,fpref,rel_sufs,pt_name", [
+    ("yelp", "pyg/YelpChi/processed", "yelp", ("rur", "rtr", "rsr"),
+     "YelpChi_data.pt"),
+    ("tfinance", "pyg/TFinance/processed", "tfinance", ("homo",),
+     "tfinance_data.pt"),
+])
+def test_load_pickled_reference_format(tmp_path, name, subdir, fpref,
+                                       rel_sufs, pt_name):
+    base = tmp_path / subdir
+    x, y, adjs = _write_pickled_dataset(str(base), fpref, rel_sufs, pt_name)
+
+    g = load_data(name, prefix=str(tmp_path) + "/")
+    assert g.num_nodes == len(y)
+    assert g.num_relations == len(rel_sufs)
+    np.testing.assert_allclose(np.asarray(g.features), x)
+    np.testing.assert_array_equal(np.asarray(g.labels), y)
+
+    # CSR contents match the pickled adjacency sets exactly
+    homo = g.homo
+    indptr = np.asarray(homo.indptr)
+    col = np.asarray(homo.col)
+    for v in range(g.num_nodes):
+        got = set(col[indptr[v]:indptr[v + 1]].tolist())
+        assert got == {int(u) for u in adjs["homo"][v]}, f"row {v}"
+
+
+def test_load_data_unknown_name():
+    with pytest.raises(ValueError, match="unknown dataset"):
+        load_data("nope")
+
+
+def test_native_roundtrip(tmp_path):
+    g = load_data("synthetic:tiny", seed=3)
+    path = str(tmp_path / "g.npz")
+    save_native(path, g)
+    g2 = load_native(path)
+    assert g2.num_nodes == g.num_nodes
+    assert g2.num_relations == g.num_relations
+    np.testing.assert_allclose(np.asarray(g2.features), np.asarray(g.features))
+    np.testing.assert_array_equal(np.asarray(g2.labels), np.asarray(g.labels))
+    for a, b in zip((*g.relations, g.homo), (*g2.relations, g2.homo)):
+        np.testing.assert_array_equal(np.asarray(a.indptr), np.asarray(b.indptr))
+        np.testing.assert_array_equal(np.asarray(a.col)[:a.num_edges],
+                                      np.asarray(b.col)[:b.num_edges])
+        np.testing.assert_array_equal(np.asarray(a.keff), np.asarray(b.keff))
+
+    # load_data dispatches .npz paths to load_native
+    g3 = load_data(path)
+    np.testing.assert_array_equal(np.asarray(g3.labels), np.asarray(g.labels))
+
+
+def test_convert_mat_pipeline(tmp_path):
+    """Offline .mat conversion (reference src/data_process.py:12-49)."""
+    import scipy.io
+    import scipy.sparse as sp
+
+    from pcgnn_tpu.data.process import convert_mat
+
+    rng = np.random.default_rng(0)
+    n, f = 10, 3
+    feats = rng.random((n, f))
+    label = (rng.random(n) < 0.4).astype(np.float64)
+
+    def rand_adj():
+        m = sp.random(n, n, density=0.3, random_state=1, format="csc")
+        return (m + m.T).sign()
+
+    mat = {"features": feats, "label": label.reshape(1, -1),
+           "net_upu": rand_adj(), "net_usu": rand_adj(),
+           "net_uvu": rand_adj(), "homo": rand_adj()}
+    mat_path = str(tmp_path / "Amazon.mat")
+    scipy.io.savemat(mat_path, mat)
+
+    out_path = str(tmp_path / "amazon.npz")
+    convert_mat(mat_path, out_path, dataset="amazon")
+    g = load_data(out_path)
+    assert g.num_nodes == n
+    assert g.num_relations == 3
+    # conversion adds self-loops (sparse_to_adjlist, src/utils.py:229)
+    indptr = np.asarray(g.homo.indptr)
+    col = np.asarray(g.homo.col)
+    for v in range(n):
+        assert v in set(col[indptr[v]:indptr[v + 1]].tolist())
