@@ -10,6 +10,13 @@ aggregator is called without ``num_sample``, ``src/graphsage.py:133``).
 tensor (``src/graphsage.py:33-35``) — invalid for the active eval path; here
 it returns softmax probabilities over the class axis, which is what the
 metric code consumes.
+
+``num_sample`` implements the aggregator's optional uniform neighbor
+subsampling (``random.sample`` when ``len(neighs) >= num_sample``,
+``src/graphsage.py:70-76``): rows with more than ``num_sample`` neighbors
+keep a uniform random subset, smaller rows keep everything.  Pass a ``key``
+to ``forward``/``loss`` for fresh randomness per step (defaults to a fixed
+key, matching deterministic evaluation).
 """
 
 from __future__ import annotations
@@ -31,11 +38,12 @@ from pcgnn_tpu.ops.aggregate import (
 
 class GraphSage:
     def __init__(self, feat_dim: int, emb_dim: int, num_classes: int = 2,
-                 gcn_style: bool = True, **_):
+                 gcn_style: bool = True, num_sample: Optional[int] = None, **_):
         self.feat_dim = feat_dim
         self.emb_dim = emb_dim
         self.num_classes = num_classes
         self.gcn_style = gcn_style
+        self.num_sample = num_sample
 
     def init(self, key: jax.Array) -> dict:
         k1, k2 = jax.random.split(key)
@@ -46,9 +54,21 @@ class GraphSage:
         }
 
     def forward(self, params, graph: MultiRelGraph, batch: jax.Array,
-                batch_labels=None, *, train: bool = True, **_):
+                batch_labels=None, *, train: bool = True,
+                key: Optional[jax.Array] = None, **_):
         rel = graph.homo
         nbr, valid = batch_neighbor_window(rel, batch)
+        if self.num_sample is not None:
+            # uniform subsample of rows larger than num_sample: random
+            # per-slot priorities, keep the num_sample smallest valid ranks
+            # (reference random.sample, src/graphsage.py:70-76)
+            if key is None:
+                key = jax.random.key(0)
+            pri = jax.random.uniform(key, nbr.shape)
+            pri = jnp.where(valid, pri, jnp.inf)
+            rank = jnp.argsort(jnp.argsort(pri, axis=1, stable=True), axis=1,
+                               stable=True)
+            valid = valid & (rank < self.num_sample)
         if self.gcn_style:
             nbr, valid = union_self_window(nbr, valid, batch)
         x = graph.features
@@ -69,8 +89,10 @@ class GraphSage:
         return jax.nn.softmax(logits, axis=-1), None
 
     def loss(self, params, graph, batch, batch_labels,
-             batch_weight: Optional[jax.Array] = None, **_):
-        logits, _ = self.forward(params, graph, batch, batch_labels, train=True)
+             batch_weight: Optional[jax.Array] = None,
+             key: Optional[jax.Array] = None, **_):
+        logits, _ = self.forward(params, graph, batch, batch_labels,
+                                 train=True, key=key)
         ce = optax.softmax_cross_entropy_with_integer_labels(logits, batch_labels)
         if batch_weight is None:
             batch_weight = jnp.ones_like(ce)

@@ -87,7 +87,8 @@ class Trainer:
                 alpha=cfg.get("alpha", 2.0), rho=cfg.get("rho", 0.5))
         else:
             self.model = build_model(model_name, feat_dim=graph.feat_dim,
-                                     emb_dim=cfg["emb_size"])
+                                     emb_dim=cfg["emb_size"],
+                                     num_sample=cfg.get("num_sample"))
         self.model_name = model_name
 
         self.tx = torch_adam(cfg["lr"], cfg["weight_decay"])
@@ -126,11 +127,12 @@ class Trainer:
         tp, tpv = self.train_pos_dev, self.train_pos_valid
         is_pcgnn = self.model_name == "PCGNN"
 
-        def loss_fn(params, batch, batch_labels, batch_weight):
+        def loss_fn(params, batch, batch_labels, batch_weight, key):
             if is_pcgnn:
                 return model.loss(params, graph, batch, batch_labels,
                                   batch_weight, train_pos=tp, train_pos_valid=tpv)
-            return model.loss(params, graph, batch, batch_labels, batch_weight)
+            return model.loss(params, graph, batch, batch_labels, batch_weight,
+                              key=key)
 
         base_key = jax.random.key(self.config["seed"])
 
@@ -155,15 +157,17 @@ class Trainer:
 
             def step(carry, xs):
                 params, opt_state = carry
-                batch, bw = xs
+                batch, bw, k_step = xs
                 y = labels_dev[batch]
-                loss, grads = jax.value_and_grad(loss_fn)(params, batch, y, bw)
+                loss, grads = jax.value_and_grad(loss_fn)(params, batch, y, bw,
+                                                          k_step)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), loss
 
+            step_keys = jax.random.split(jax.random.fold_in(key, 2), nb)
             (params, opt_state), losses = jax.lax.scan(
-                step, (params, opt_state), (batches, weights))
+                step, (params, opt_state), (batches, weights, step_keys))
             return params, opt_state, jnp.mean(losses)
 
         @jax.jit

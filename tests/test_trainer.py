@@ -111,3 +111,57 @@ def test_legacy_log_layout(tmp_path):
     assert train_file.read_text() == "t1\nt2\n"
     (valid_file,) = (base / "valid").iterdir()
     assert valid_file.read_text() == "v1\n"
+
+
+def test_sage_num_sample_subsampling(tmp_path, monkeypatch):
+    # reference MeanAggregator optionally subsamples num_sample neighbors
+    # uniformly (src/graphsage.py:70-76); rows at or under the cap keep all
+    import jax
+    import jax.numpy as jnp
+    from pcgnn_tpu.data.synthetic import synthetic_fraud_graph
+    from pcgnn_tpu.models import build_model
+    from pcgnn_tpu.ops.aggregate import batch_neighbor_window
+
+    g = synthetic_fraud_graph("tiny", seed=0)
+    all_deg = jnp.asarray(g.homo.deg)
+    k = int(jnp.median(all_deg))
+    model = build_model("SAGE", feat_dim=g.feat_dim, emb_dim=8, num_sample=k)
+    params = model.init(jax.random.key(0))
+    # batch mixes low- and high-degree rows so both regimes are exercised
+    order = jnp.argsort(all_deg)
+    batch = jnp.concatenate([order[:16], order[-16:]]).astype(jnp.int32)
+
+    logits, _ = model.forward(params, g, batch, train=True,
+                              key=jax.random.key(1))
+    assert logits.shape == (32, 2)
+
+    # two different keys give different logits for rows above the cap
+    logits2, _ = model.forward(params, g, batch, train=True,
+                               key=jax.random.key(2))
+    deg = jnp.asarray(g.homo.deg)[batch]
+    assert bool(jnp.any(deg > k))
+    assert not jnp.allclose(logits, logits2)
+
+    # same key is deterministic
+    logits3, _ = model.forward(params, g, batch, train=True,
+                               key=jax.random.key(1))
+    assert jnp.allclose(logits, logits3)
+
+    # rows with deg <= num_sample are unaffected by subsampling
+    full = build_model("SAGE", feat_dim=g.feat_dim, emb_dim=8)
+    logits_full, _ = full.forward(params, g, batch, train=True)
+    small = deg <= k
+    assert bool(jnp.any(small))
+    assert jnp.allclose(logits[small], logits_full[small], atol=1e-6)
+
+    # trains end-to-end through the Trainer with the config knob
+    monkeypatch.chdir(tmp_path)
+    from pcgnn_tpu.train.trainer import Trainer
+    cfg = dict(seed=2, data_name="synthetic:tiny", model="SAGE",
+               train_ratio=0.4, test_ratio=0.67, emb_size=8, lr=0.01,
+               weight_decay=0.001, alpha=2.0, rho=0.5, epochs=4,
+               valid_epochs=2, batch_size=64, patience=10, exp_num=0,
+               num_sample=k)
+    t = Trainer(cfg)
+    auc, recall, f1 = t.train()
+    assert 0.0 <= auc <= 1.0
