@@ -33,12 +33,13 @@ import optax
 from pcgnn_tpu.graph.csr import MultiRelGraph
 from pcgnn_tpu.models.initializers import torch_linear, xavier_uniform
 from pcgnn_tpu.ops.aggregate import (
+    _INF,
     batch_neighbor_window,
-    choose_keep_mask,
     dedup_minor_keep,
     oversample_candidates,
     oversample_keep,
-    window_mean_aggregate,
+    row_ranks,
+    window_mean_from_gathered,
 )
 
 
@@ -100,8 +101,22 @@ class PCGNN:
 
         center_scores = scores[batch]                      # [B, C]
         self_feats = x[batch]                              # [B, F]
-        x_padded = jnp.concatenate(
-            [x, jnp.zeros((1, x.shape[1]), x.dtype)])      # sentinel row N
+        f = x.shape[1]
+        # XLA's scattered element gather is ~100M elem/s on TPU while wide
+        # row gathers are fast, so the score rides as an extra feature
+        # column: ONE [B, D, F+1] row gather per relation feeds both the
+        # choose distance (column F) and the aggregation (columns :F),
+        # instead of a separate s0[nbr] element gather per relation.
+        # stop_gradient keeps xs param-independent — selection is
+        # non-differentiable (label_clf learns only through the similarity
+        # loss, src/model.py:54-61), and without it the window gather grows
+        # a VJP scatter-add into [N+1, F+1] that dominates the backward.
+        s0_sg = jax.lax.stop_gradient(s0_padded)
+        xs = jnp.concatenate(
+            [x, s0_sg[:-1, None]], axis=1)                 # [N, F+1]
+        xs = jnp.concatenate(
+            [xs, jnp.zeros((1, f + 1), xs.dtype)])         # sentinel row N
+        center_s0 = jax.lax.stop_gradient(center_scores[:, 0])  # [B]
 
         if train:
             # candidate ordering is relation-independent: sort once, keep the
@@ -112,20 +127,26 @@ class PCGNN:
                 int(max(rel.ksample_max for rel in graph.relations) * self.rho)))
             cand_ids, cand_valid = oversample_candidates(
                 batch, s0_padded, train_pos, train_pos_valid, m_max)
+            cand_xw = xs[cand_ids][..., :f]                # [B, M, F] rows
 
         rel_embs = []
         for r, rel in enumerate(graph.relations):
             nbr, valid = batch_neighbor_window(rel, batch)
-            keep = choose_keep_mask(rel, batch, nbr, valid, s0_padded)
+            xw = xs[nbr]                                   # [B, D, F+1] rows
+            # choose: SDDMM distance on score channel 0 + exact ranks
+            # (src/layers.py:655-672; keff folds keep-all-when-small)
+            d = jnp.abs(center_s0[:, None] - xw[..., f])
+            d = jnp.where(valid, d, _INF)
+            keep = valid & (row_ranks(d) < rel.keff[batch][:, None])
             if train:
                 keep_minor = oversample_keep(
                     rel, batch, batch_labels, cand_valid, self.rho)
                 keep_minor = dedup_minor_keep(nbr, keep, n, cand_ids,
                                               keep_minor)
-                agg = window_mean_aggregate(nbr, keep, x_padded,
-                                            cand_ids, keep_minor)
+                agg = window_mean_from_gathered(xw[..., :f], keep,
+                                                cand_xw, keep_minor)
             else:
-                agg = window_mean_aggregate(nbr, keep, x_padded)
+                agg = window_mean_from_gathered(xw[..., :f], keep)
             cat = jnp.concatenate([self_feats, agg], axis=1)    # [B, 2F]
             h = jax.nn.relu(jnp.dot(cat, params["intra"][r]["w"],
                                     preferred_element_type=jnp.float32))

@@ -149,3 +149,35 @@ def test_choose_keep_mask_counts():
     keep = np.asarray(choose_keep_mask(rel, batch, nbr, valid, s0))
     keff = np.asarray(rel.keff)[np.asarray(batch)]
     assert np.array_equal(keep.sum(1), keff)
+
+
+def test_dense_neighbor_table_matches_csr_gather():
+    # the [N, dmax] dense table path must agree exactly with the CSR gather
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pcgnn_tpu.data.synthetic import synthetic_fraud_graph
+    from pcgnn_tpu.ops.aggregate import batch_neighbor_window
+
+    g = synthetic_fraud_graph("tiny", seed=0)
+    rng = np.random.default_rng(0)
+    for rel in (*g.relations, g.homo):
+        assert rel.nbr2d is not None  # tiny graphs are under the HBM budget
+        batch = jnp.asarray(rng.integers(0, rel.num_nodes, 77), jnp.int32)
+        nbr_d, val_d = batch_neighbor_window(rel, batch)
+        rel_csr = dataclasses.replace(rel, nbr2d=None)
+        nbr_c, val_c = batch_neighbor_window(rel_csr, batch)
+        np.testing.assert_array_equal(np.asarray(nbr_d), np.asarray(nbr_c))
+        np.testing.assert_array_equal(np.asarray(val_d), np.asarray(val_c))
+
+
+def test_dense_neighbor_table_budget_gate(monkeypatch):
+    import numpy as np
+    from pcgnn_tpu.graph import csr as csr_mod
+
+    monkeypatch.setattr(csr_mod, "NBR2D_BUDGET_BYTES", 8)  # force over budget
+    rng = np.random.default_rng(0)
+    rel = csr_mod.csr_from_edges(rng.integers(0, 50, 200),
+                                 rng.integers(0, 50, 200), 50)
+    assert rel.nbr2d is None  # falls back to CSR-only
