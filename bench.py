@@ -58,15 +58,15 @@ def main():
         edges_per_sample += float((p * deg).sum())
     edges_per_epoch = edges_per_sample * t.sample_size
 
-    # warmup (compile)
-    params, opt_state, loss = t.epoch_fn(params, opt_state, 0)
-    jax.block_until_ready(loss)
-    params, opt_state, loss = t.epoch_fn(params, opt_state, 1)
+    # warmup (compile); the block runner amortizes per-dispatch latency the
+    # same way production training does (one call per validation interval)
+    params, opt_state, loss = t.epoch_block_fn(params, opt_state, 0,
+                                               args.epochs)
     jax.block_until_ready(loss)
 
     t0 = time.perf_counter()
-    for e in range(args.epochs):
-        params, opt_state, loss = t.epoch_fn(params, opt_state, e + 2)
+    params, opt_state, loss = t.epoch_block_fn(params, opt_state, args.epochs,
+                                               args.epochs)
     jax.block_until_ready(loss)
     dt = (time.perf_counter() - t0) / args.epochs
 

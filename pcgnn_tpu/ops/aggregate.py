@@ -39,6 +39,10 @@ from pcgnn_tpu.graph.csr import RelGraph
 _INF = jnp.float32(jnp.inf)
 
 
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
 def batch_neighbor_window(rel: RelGraph, batch: jax.Array):
     """Gather the CSR neighbor window for a batch of rows.
 
@@ -98,6 +102,33 @@ def choose_keep_mask(
     return valid & (rank < keff[:, None])
 
 
+def oversample_candidates_dense(
+    batch: jax.Array,
+    s0_padded: jax.Array,
+    train_pos: jax.Array,
+    train_pos_valid: jax.Array,
+    m_max: int,
+):
+    """Dense-oracle form of :func:`oversample_candidates`: ``top_k`` over the
+    full [B, P] distance matrix.  Ties resolve to the lowest candidate slot
+    (same as the reference's stable ascending sort over the ``train_pos``
+    tensor, ``src/layers.py:679-683``).  O(B·P) — kept as the cross-check
+    oracle; the production path below is O(P log P + B·M)."""
+    p = int(train_pos.shape[0])
+    center = s0_padded[batch]                               # [B]
+    d = jnp.abs(center[:, None] - s0_padded[train_pos])     # [B, P]
+    d = jnp.where(train_pos_valid[None, :], d, _INF)
+    k = min(m_max, p)
+    neg_top, order = jax.lax.top_k(-d, k)                   # [B, k]
+    cand_ids = train_pos[order]
+    cand_valid = train_pos_valid[order] & jnp.isfinite(neg_top)
+    if k < m_max:  # fewer candidates than the static bound: pad invalid
+        padw = m_max - k
+        cand_ids = jnp.pad(cand_ids, ((0, 0), (0, padw)))
+        cand_valid = jnp.pad(cand_valid, ((0, 0), (0, padw)))
+    return cand_ids, cand_valid
+
+
 def oversample_candidates(
     batch: jax.Array,
     s0_padded: jax.Array,
@@ -109,24 +140,79 @@ def oversample_candidates(
 
     The reference appends, for each fraud-labeled center, the
     ``int(ceil(thr*deg)*rho)`` training positives nearest in label-aware
-    score (``src/layers.py:675-691``).  Since the *candidate ordering* is
-    relation-independent, it is computed once per step: one stable argsort
-    of the [B, P] distance matrix, truncated to ``m_max`` — the static
-    maximum any node of any relation can request (RelGraph.ksample_max·rho).
+    score (``src/layers.py:675-691``).  The candidate ordering is
+    relation-independent, so it is computed once per step.
+
+    The distance ``|s_c - s_p|`` is one-dimensional, so the ``m`` nearest
+    candidates of any center form a *contiguous window* of the score-sorted
+    candidate list.  Instead of a ``top_k`` over the dense [B, P] distance
+    matrix (the single most expensive op of the training step on TPU, and
+    O(B·P) with P ~ 1e5 at stress scale), this:
+
+      1. sorts candidate scores once:            O(P log P), one [P] sort
+      2. binary-searches each center's position: O(B log P)
+      3. lexicographically sorts a [B, 2M] window by (distance, slot)
+
+    Tie-breaking matches the dense oracle (lowest candidate slot wins)
+    whenever the tied candidates fall inside the 2M window.  When a run of
+    *exactly* equal f32 distances extends beyond the window (possible only
+    with exactly-tied scores, e.g. duplicated feature rows), the selected
+    tied subset may differ from the oracle's slot order — the selected
+    distance multiset is still exact, which is the tie-robust parity target
+    (SURVEY.md §7 "hard parts": the reference's own tie order is
+    set-iteration-dependent).
 
     Returns:
       cand_ids:   [B, m_max] int32 nearest train_pos ids, ascending distance.
       cand_valid: [B, m_max] bool (False where padding entries sorted in).
     """
+    p = int(train_pos.shape[0])
+    if 2 * m_max >= p:
+        return oversample_candidates_dense(
+            batch, s0_padded, train_pos, train_pos_valid, m_max)
+
+    b = batch.shape[0]
     center = s0_padded[batch]                               # [B]
-    d = jnp.abs(center[:, None] - s0_padded[train_pos])     # [B, P]
-    d = jnp.where(train_pos_valid[None, :], d, _INF)
-    # top_k instead of a full argsort: P can be ~1e5+ at stress scale, and
-    # only the m_max nearest are ever used; ties resolve to the lowest index
-    # (same as a stable ascending sort).
-    neg_top, order = jax.lax.top_k(-d, m_max)               # [B, M]
-    cand_ids = train_pos[order]
-    cand_valid = train_pos_valid[order] & jnp.isfinite(neg_top)
+    sp = jnp.where(train_pos_valid, s0_padded[train_pos], _INF)   # [P]
+    slot = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)[:, 0]
+    # sort candidates by (score, slot); invalid slots cluster at the end
+    sp_sorted, slot_sorted = jax.lax.sort((sp, slot), num_keys=1)
+    # Each center's m nearest live in the contiguous window
+    # [pos-m, pos+m) of the sorted array.  A per-row [B, 2M] element gather
+    # of that window is the slow path on TPU (XLA's scattered element
+    # gather runs ~1e8 elem/s); instead the sorted array is chunked into
+    # overlapping rows of width 2C (chunk stride C >= 2M), so any window is
+    # contained in ONE row and the extraction becomes a fast wide row
+    # gather of a [B, 2C] superset, lex-sorted directly (no in-register
+    # window shift needed).
+    c = max(128, _round_up(2 * m_max, 128))                 # chunk stride
+    nrows = -(-p // c)
+    ppad = nrows * c + c
+    padw = ppad - p
+    sp_pad = jnp.pad(sp_sorted, (0, padw), constant_values=_INF)
+    slot_pad = jnp.pad(slot_sorted, (0, padw), constant_values=0)
+
+    def overlap_rows(a):                                    # [Ppad] -> [R, 2C]
+        return jnp.concatenate(
+            [a[:nrows * c].reshape(nrows, c),
+             a[c:nrows * c + c].reshape(nrows, c)], axis=1)
+
+    row_scores = overlap_rows(sp_pad)
+    row_slots = overlap_rows(slot_pad)
+    pos = jnp.searchsorted(sp_sorted, center)               # [B]
+    r0 = jnp.clip((pos - m_max) // c, 0, nrows - 1)         # [B]
+    win_scores = row_scores[r0]                             # [B, 2C] row gather
+    win_slots = row_slots[r0]
+    d = jnp.abs(center[:, None] - win_scores)
+    d = jnp.where(jnp.isfinite(win_scores), d, _INF)
+    # lexicographic (distance, slot) sort reproduces the oracle's stable
+    # tie order (equal distances can come from both sides of the center, so
+    # window order alone is NOT the slot order); take the m_max nearest
+    d_sorted, slots_out = jax.lax.sort((d, win_slots), num_keys=2)
+    d_sorted = d_sorted[:, :m_max]
+    slots_out = slots_out[:, :m_max]
+    cand_valid = jnp.isfinite(d_sorted)
+    cand_ids = train_pos[jnp.where(cand_valid, slots_out, 0)]
     return cand_ids, cand_valid
 
 

@@ -181,3 +181,47 @@ def test_dense_neighbor_table_budget_gate(monkeypatch):
     rel = csr_mod.csr_from_edges(rng.integers(0, 50, 200),
                                  rng.integers(0, 50, 200), 50)
     assert rel.nbr2d is None  # falls back to CSR-only
+
+
+def test_oversample_candidates_windowed_matches_dense_oracle():
+    """The production 1-D windowed selection (sort + searchsorted + [B,2M]
+    lexicographic sort) must reproduce the dense [B,P] top_k oracle:
+    exactly (ids + slot tie-breaking) for continuous scores, and as an
+    identical selected-distance multiset when scores carry exact f32 ties
+    (the tie-robust parity target, SURVEY.md §7 — a tied run cut by the
+    window may legitimately resolve tied slots in a different order)."""
+    from pcgnn_tpu.ops.aggregate import (
+        oversample_candidates,
+        oversample_candidates_dense,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(25):
+        n = int(rng.integers(50, 400))
+        p = int(rng.integers(5, 100))
+        b = int(rng.integers(1, 48))
+        m = int(rng.integers(1, 50))
+        s0 = rng.normal(size=n + 1).astype(np.float32)
+        tied = trial % 3 == 0
+        if tied:
+            s0 = np.round(s0, 1)  # force score ties
+        tp = rng.integers(0, n, size=p).astype(np.int32)
+        tpv = rng.random(p) > (0.2 if trial % 2 else 0.0)
+        if not tpv.any():
+            tpv[0] = True
+        batch = rng.integers(0, n, size=b).astype(np.int32)
+        args = (jnp.asarray(batch), jnp.asarray(s0), jnp.asarray(tp),
+                jnp.asarray(tpv), m)
+        a_ids, a_val = oversample_candidates(*args)
+        d_ids, d_val = oversample_candidates_dense(*args)
+        a_ids, a_val = np.asarray(a_ids), np.asarray(a_val)
+        d_ids, d_val = np.asarray(d_ids), np.asarray(d_val)
+        assert a_ids.shape == (b, m)
+        assert (a_val == d_val).all()
+        if tied:
+            da = np.where(a_val, np.abs(s0[batch][:, None] - s0[a_ids]), -1)
+            dd = np.where(d_val, np.abs(s0[batch][:, None] - s0[d_ids]), -1)
+            assert (np.sort(da, axis=1) == np.sort(dd, axis=1)).all()
+        else:
+            assert (np.where(a_val, a_ids, -1)
+                    == np.where(d_val, d_ids, -1)).all()

@@ -165,3 +165,27 @@ def test_sage_num_sample_subsampling(tmp_path, monkeypatch):
     t = Trainer(cfg)
     auc, recall, f1 = t.train()
     assert 0.0 <= auc <= 1.0
+
+
+def test_epoch_block_matches_sequential_epochs(tmp_path, monkeypatch):
+    """epoch_block_fn(e0, n) must be bit-identical to n sequential
+    epoch_fn calls (same per-epoch PRNG keys, same updates)."""
+    import jax
+    import jax.numpy as jnp
+
+    monkeypatch.chdir(tmp_path)
+    t = Trainer(_cfg(tmp_path, epochs=1))
+    params = t.model.init(jax.random.key(0))
+    opt_state = t.tx.init(params)
+
+    def dup(tree):
+        return jax.tree.map(lambda x: jnp.array(x, copy=True), tree)
+
+    p_seq, o_seq = dup(params), dup(opt_state)
+    for e in range(4):
+        p_seq, o_seq, loss_seq = t.epoch_fn(p_seq, o_seq, e)
+    p_blk, o_blk, loss_blk = t.epoch_block_fn(dup(params), dup(opt_state),
+                                              0, 4)
+    assert np.allclose(float(loss_seq), float(loss_blk), rtol=0, atol=0)
+    for a, b in zip(jax.tree.leaves(p_seq), jax.tree.leaves(p_blk)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
