@@ -36,11 +36,16 @@ from pcgnn_tpu.ops.aggregate import (
     _INF,
     batch_neighbor_window,
     dedup_minor_keep,
-    oversample_candidates,
+    keep_nearest,
+    oversample_candidates_values,
     oversample_keep,
-    row_ranks,
     window_mean_from_gathered,
 )
+
+# Node count above which per-step O(N) score materialization is replaced by
+# lazy on-window score computation (see PCGNN.forward).  The parity-tested
+# reference-scale graphs (YelpChi 46k, Amazon 12k) stay on the table path.
+SCORE_FROM_WINDOW_MIN_NODES = 200_000
 
 
 class PCGNN:
@@ -89,34 +94,59 @@ class PCGNN:
         """Returns (gnn_logits [B, C], center_scores [B, C])."""
         x = graph.features
         n = graph.num_nodes
-
-        # label-aware scores for all nodes: tiny [N,F]x[F,2] matmul replaces
-        # the reference's per-batch unique-union gather (src/layers.py:226-237)
+        f = x.shape[1]
         clf = params["label_clf"]
+        # Two score strategies with identical math (s = x·W_clf + b):
+        #  * small graphs: ONE [N,F]x[F,2] matmul materializes every node's
+        #    score; the score rides as an extra gathered feature column
+        #    (replaces the reference's per-batch unique-union gather,
+        #    src/layers.py:226-237).
+        #  * large graphs (stress scale): per-step O(N) work dominates a
+        #    B-sized batch step, so scores are computed lazily ON the
+        #    gathered windows (O(B·D·F) instead of O(N·F) per step).
+        score_from_window = n >= SCORE_FROM_WINDOW_MIN_NODES
         # precision='highest': these two columns drive the choose *ranking*;
         # bf16 rounding here would perturb neighbor selection for ~free gain
-        scores = jnp.dot(x, clf["w"], precision="highest",
-                         preferred_element_type=jnp.float32) + clf["b"]
-        s0_padded = jnp.concatenate([scores[:, 0], jnp.zeros((1,), scores.dtype)])
-
-        center_scores = scores[batch]                      # [B, C]
-        self_feats = x[batch]                              # [B, F]
-        f = x.shape[1]
-        # XLA's scattered element gather is ~100M elem/s on TPU while wide
-        # row gathers are fast, so the score rides as an extra feature
-        # column: ONE [B, D, F+1] row gather per relation feeds both the
-        # choose distance (column F) and the aggregation (columns :F),
-        # instead of a separate s0[nbr] element gather per relation.
-        # stop_gradient keeps xs param-independent — selection is
+        # stop_gradient on everything feeding selection: it is
         # non-differentiable (label_clf learns only through the similarity
         # loss, src/model.py:54-61), and without it the window gather grows
         # a VJP scatter-add into [N+1, F+1] that dominates the backward.
-        s0_sg = jax.lax.stop_gradient(s0_padded)
-        xs = jnp.concatenate(
-            [x, s0_sg[:-1, None]], axis=1)                 # [N, F+1]
-        xs = jnp.concatenate(
-            [xs, jnp.zeros((1, f + 1), xs.dtype)])         # sentinel row N
-        center_s0 = jax.lax.stop_gradient(center_scores[:, 0])  # [B]
+        w0 = jax.lax.stop_gradient(clf["w"][:, 0])
+        b0 = jax.lax.stop_gradient(clf["b"][0])
+
+        self_feats = x[batch]                              # [B, F]
+
+        def window_s0(xw_rows):
+            """Score channel 0 of gathered feature rows ([..., F] -> [...])."""
+            return jnp.dot(xw_rows, w0, precision="highest",
+                           preferred_element_type=jnp.float32) + b0
+
+        if score_from_window:
+            # gather plain features; scores computed on the window.  center,
+            # neighbor and candidate scores all use the same [..., F]·w0
+            # contraction so a self-loop's distance stays (near-)zero.
+            center_scores = jnp.dot(
+                self_feats, clf["w"], precision="highest",
+                preferred_element_type=jnp.float32) + clf["b"]
+            center_s0 = window_s0(self_feats)              # [B]
+            xs = jnp.concatenate(
+                [x, jnp.zeros((1, f), x.dtype)])           # sentinel row N
+            fcols = f
+        else:
+            scores = jnp.dot(x, clf["w"], precision="highest",
+                             preferred_element_type=jnp.float32) + clf["b"]
+            center_scores = scores[batch]                  # [B, C]
+            center_s0 = jax.lax.stop_gradient(center_scores[:, 0])
+            s0_sg = jax.lax.stop_gradient(scores[:, 0])
+            # XLA's scattered element gather is ~100M elem/s on TPU while
+            # wide row gathers are fast, so the score rides as an extra
+            # feature column: ONE [B, D, F+1] row gather per relation feeds
+            # both the choose distance (column F) and the aggregation
+            # (columns :F), instead of a separate s0[nbr] element gather.
+            xs = jnp.concatenate([x, s0_sg[:, None]], axis=1)   # [N, F+1]
+            xs = jnp.concatenate(
+                [xs, jnp.zeros((1, f + 1), xs.dtype)])     # sentinel row N
+            fcols = f + 1
 
         if train:
             # candidate ordering is relation-independent: sort once, keep the
@@ -125,19 +155,22 @@ class PCGNN:
             m_max = max(1, min(
                 int(train_pos.shape[0]),
                 int(max(rel.ksample_max for rel in graph.relations) * self.rho)))
-            cand_ids, cand_valid = oversample_candidates(
-                batch, s0_padded, train_pos, train_pos_valid, m_max)
+            tp_s0 = (window_s0(x[train_pos]) if score_from_window
+                     else s0_sg[train_pos])                # [P]
+            cand_ids, cand_valid = oversample_candidates_values(
+                center_s0, tp_s0, train_pos, train_pos_valid, m_max)
             cand_xw = xs[cand_ids][..., :f]                # [B, M, F] rows
 
         rel_embs = []
         for r, rel in enumerate(graph.relations):
             nbr, valid = batch_neighbor_window(rel, batch)
-            xw = xs[nbr]                                   # [B, D, F+1] rows
+            xw = xs[nbr]                                   # [B, D, fcols] rows
             # choose: SDDMM distance on score channel 0 + exact ranks
             # (src/layers.py:655-672; keff folds keep-all-when-small)
-            d = jnp.abs(center_s0[:, None] - xw[..., f])
+            nbr_s0 = window_s0(xw[..., :f]) if score_from_window else xw[..., f]
+            d = jnp.abs(center_s0[:, None] - nbr_s0)
             d = jnp.where(valid, d, _INF)
-            keep = valid & (row_ranks(d) < rel.keff[batch][:, None])
+            keep = keep_nearest(d, rel.keff[batch], valid)
             if train:
                 keep_minor = oversample_keep(
                     rel, batch, batch_labels, cand_valid, self.rho)

@@ -79,6 +79,34 @@ def row_ranks(dist: jax.Array) -> jax.Array:
     return jnp.argsort(order, axis=-1, stable=True).astype(jnp.int32)
 
 
+def keep_nearest(dist: jax.Array, k: jax.Array,
+                 valid: jax.Array) -> jax.Array:
+    """Boolean mask of each row's ``k[b]`` nearest entries of ``dist``.
+
+    Exactly equivalent to ``valid & (row_ranks(dist) < k[:, None])`` — the
+    choose rule with stable (value, column) ordering — but computed with ONE
+    single-operand value sort instead of two index-carrying argsorts:
+
+      t        = k-th smallest value per row (from the sorted copy)
+      keep     = dist < t                     (all strictly-nearer entries;
+                                               there are at most k-1 of them)
+               | ties at t, first (k - #nearer) in column order
+                                              (inclusive prefix count)
+
+    ``dist`` must already be +inf at invalid slots (so they sort last).
+    """
+    b, d = dist.shape
+    ds = jax.lax.sort(dist)                               # [B, D] ascending
+    idx = jnp.clip(k - 1, 0, d - 1)
+    t = jnp.take_along_axis(ds, idx[:, None], axis=1)     # [B, 1] threshold
+    less = dist < t
+    eq = dist == t
+    tie_prefix = jnp.cumsum(eq.astype(jnp.int32), axis=1)
+    n_less = jnp.sum(less, axis=1, keepdims=True)
+    keep_tie = eq & ((n_less + tie_prefix) <= k[:, None])
+    return valid & (k[:, None] > 0) & (less | keep_tie)
+
+
 def choose_keep_mask(
     rel: RelGraph,
     batch: jax.Array,
@@ -97,14 +125,25 @@ def choose_keep_mask(
     center = s0_padded[batch]                     # [B]
     d = jnp.abs(center[:, None] - s0_padded[nbr])  # SDDMM over the window
     d = jnp.where(valid, d, _INF)
-    rank = row_ranks(d)
-    keff = rel.keff[batch]                        # [B]
-    return valid & (rank < keff[:, None])
+    return keep_nearest(d, rel.keff[batch], valid)
 
 
 def oversample_candidates_dense(
     batch: jax.Array,
     s0_padded: jax.Array,
+    train_pos: jax.Array,
+    train_pos_valid: jax.Array,
+    m_max: int,
+):
+    """Id-based wrapper over :func:`oversample_candidates_dense_values`."""
+    return oversample_candidates_dense_values(
+        s0_padded[batch], s0_padded[train_pos], train_pos, train_pos_valid,
+        m_max)
+
+
+def oversample_candidates_dense_values(
+    center_s0: jax.Array,
+    cand_s0: jax.Array,
     train_pos: jax.Array,
     train_pos_valid: jax.Array,
     m_max: int,
@@ -115,8 +154,8 @@ def oversample_candidates_dense(
     tensor, ``src/layers.py:679-683``).  O(B·P) — kept as the cross-check
     oracle; the production path below is O(P log P + B·M)."""
     p = int(train_pos.shape[0])
-    center = s0_padded[batch]                               # [B]
-    d = jnp.abs(center[:, None] - s0_padded[train_pos])     # [B, P]
+    center = center_s0                                      # [B]
+    d = jnp.abs(center[:, None] - cand_s0[None, :])         # [B, P]
     d = jnp.where(train_pos_valid[None, :], d, _INF)
     k = min(m_max, p)
     neg_top, order = jax.lax.top_k(-d, k)                   # [B, k]
@@ -132,6 +171,20 @@ def oversample_candidates_dense(
 def oversample_candidates(
     batch: jax.Array,
     s0_padded: jax.Array,
+    train_pos: jax.Array,
+    train_pos_valid: jax.Array,
+    m_max: int,
+):
+    """Id-based wrapper over :func:`oversample_candidates_values` (gathers
+    the centers' and candidates' scores from the [N+1] score table)."""
+    return oversample_candidates_values(
+        s0_padded[batch], s0_padded[train_pos], train_pos, train_pos_valid,
+        m_max)
+
+
+def oversample_candidates_values(
+    center_s0: jax.Array,
+    cand_s0: jax.Array,
     train_pos: jax.Array,
     train_pos_valid: jax.Array,
     m_max: int,
@@ -168,12 +221,11 @@ def oversample_candidates(
     """
     p = int(train_pos.shape[0])
     if 2 * m_max >= p:
-        return oversample_candidates_dense(
-            batch, s0_padded, train_pos, train_pos_valid, m_max)
+        return oversample_candidates_dense_values(
+            center_s0, cand_s0, train_pos, train_pos_valid, m_max)
 
-    b = batch.shape[0]
-    center = s0_padded[batch]                               # [B]
-    sp = jnp.where(train_pos_valid, s0_padded[train_pos], _INF)   # [P]
+    center = center_s0                                      # [B]
+    sp = jnp.where(train_pos_valid, cand_s0, _INF)          # [P]
     slot = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)[:, 0]
     # sort candidates by (score, slot); invalid slots cluster at the end
     sp_sorted, slot_sorted = jax.lax.sort((sp, slot), num_keys=1)

@@ -33,7 +33,19 @@ def pick_probs(deg_train: jax.Array, y_train: jax.Array) -> jax.Array:
 
 def pick_step(key: jax.Array, idx_train: jax.Array, weights: jax.Array,
               size: int) -> jax.Array:
-    """Draw ``size`` training node ids with replacement, P ∝ weights."""
-    logits = jnp.log(jnp.maximum(weights, 1e-30))
-    draws = jax.random.categorical(key, logits, shape=(size,))
+    """Draw ``size`` training node ids with replacement, P ∝ weights.
+
+    Inverse-CDF sampling: one [T] cumsum + a sorted search of ``size``
+    uniforms.  O(T + S·log T) — ``jax.random.categorical`` would stream a
+    [S, T] Gumbel tensor (1e10+ elements at stress scale: S ~ 4e4 draws
+    against T ~ 4e5 training nodes, per epoch).  Identical distribution,
+    different random stream (the reference's ``random.choices`` stream is
+    not reproducible from torch seeds either; parity is statistical,
+    ``tests/test_sampling.py``).
+    """
+    cdf = jnp.cumsum(weights.astype(jnp.float32))
+    total = cdf[-1]
+    u = jax.random.uniform(key, (size,), dtype=jnp.float32, maxval=1.0) * total
+    draws = jnp.searchsorted(cdf, u, side="right", method="sort")
+    draws = jnp.minimum(draws, weights.shape[0] - 1)
     return idx_train[draws]

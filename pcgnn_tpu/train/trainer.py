@@ -119,34 +119,40 @@ class Trainer:
     # ------------------------------------------------------------------ #
 
     def _build_steps(self):
-        model, graph = self.model, self.graph
+        model = self.model
         tx = self.tx
         b, nb, s = self.batch_size, self.num_batches, self.sample_size
         padded = nb * b
-        labels_dev = graph.labels
-        tp, tpv = self.train_pos_dev, self.train_pos_valid
         is_pcgnn = self.model_name == "PCGNN"
-
-        def loss_fn(params, batch, batch_labels, batch_weight, key):
-            if is_pcgnn:
-                return model.loss(params, graph, batch, batch_labels,
-                                  batch_weight, train_pos=tp, train_pos_valid=tpv)
-            return model.loss(params, graph, batch, batch_labels, batch_weight,
-                              key=key)
 
         base_key = jax.random.key(self.config["seed"])
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def epoch_fn(params, opt_state, epoch_idx):
+        # The graph (features + per-relation CSR) and the training constants
+        # are passed as PYTREE ARGUMENTS, not closed over: a closed-over
+        # concrete array is baked into the compiled program as a literal,
+        # which (a) bloats the executable to graph size and (b) overflows
+        # compile-payload limits at stress scale (1e6+ nodes).  As arguments
+        # they stay device-resident buffers referenced by handle.
+        def _epoch(params, opt_state, epoch_idx, graph, consts):
+            def loss_fn(params, batch, batch_labels, batch_weight, key):
+                if is_pcgnn:
+                    return model.loss(params, graph, batch, batch_labels,
+                                      batch_weight,
+                                      train_pos=consts["tp"],
+                                      train_pos_valid=consts["tpv"])
+                return model.loss(params, graph, batch, batch_labels,
+                                  batch_weight, key=key)
+            labels_dev = graph.labels
+
             # per-epoch key derived from (seed, epoch): deterministic and
             # resumable without threading key state through checkpoints
             key = jax.random.fold_in(base_key, epoch_idx)
             k_pick, k_shuf = jax.random.split(key)
             if is_pcgnn:
-                sampled = pick_step(k_pick, self.idx_train_dev,
-                                    self.pick_weights, s)
+                sampled = pick_step(k_pick, consts["idx_train"],
+                                    consts["pick_weights"], s)
             else:
-                sampled = self.idx_train_dev
+                sampled = consts["idx_train"]
             sampled = jax.random.permutation(k_shuf, sampled)
             ids = jnp.concatenate(
                 [sampled, jnp.zeros((padded - s,), sampled.dtype)])
@@ -175,26 +181,39 @@ class Trainer:
         # host<->device round trip — ~20 ms through a tunneled TPU, and a
         # dispatch per epoch even locally — is paid once per validation
         # interval instead of once per epoch.
-        def _epoch_block(params, opt_state, first_epoch, num_epochs):
+        def _epoch_block(params, opt_state, first_epoch, num_epochs, graph,
+                         consts):
             def body(i, carry):
                 params, opt_state, _ = carry
-                return epoch_fn.__wrapped__(params, opt_state, first_epoch + i)
+                return _epoch(params, opt_state, first_epoch + i, graph,
+                              consts)
             return jax.lax.fori_loop(
                 0, num_epochs, body, (params, opt_state, jnp.float32(0.0)))
 
-        epoch_block_fn = jax.jit(_epoch_block, static_argnums=(3,),
-                                 donate_argnums=(0, 1))
+        epoch_jit = jax.jit(_epoch, donate_argnums=(0, 1))
+        block_jit = jax.jit(_epoch_block, static_argnums=(3,),
+                            donate_argnums=(0, 1))
 
-        @jax.jit
-        def predict_fn(params, batch):
-            probs, _ = model.to_prob(params, graph, batch, train=False,
-                                     **(dict(train_pos=tp, train_pos_valid=tpv)
-                                        if is_pcgnn else {}))
+        def _predict(params, batch, graph, consts):
+            probs, _ = model.to_prob(
+                params, graph, batch, train=False,
+                **(dict(train_pos=consts["tp"],
+                        train_pos_valid=consts["tpv"]) if is_pcgnn else {}))
             return probs
 
-        self.epoch_fn = epoch_fn
-        self.epoch_block_fn = epoch_block_fn
-        self.predict_fn = predict_fn
+        predict_jit = jax.jit(_predict)
+
+        consts = {
+            "idx_train": self.idx_train_dev,
+            "pick_weights": self.pick_weights,
+            "tp": self.train_pos_dev,
+            "tpv": self.train_pos_valid,
+        }
+        graph = self.graph
+        self.epoch_fn = lambda p, o, e: epoch_jit(p, o, e, graph, consts)
+        self.epoch_block_fn = lambda p, o, e0, n: block_jit(p, o, e0, n,
+                                                            graph, consts)
+        self.predict_fn = lambda p, batch: predict_jit(p, batch, graph, consts)
 
     # ------------------------------------------------------------------ #
 

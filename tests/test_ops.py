@@ -225,3 +225,27 @@ def test_oversample_candidates_windowed_matches_dense_oracle():
         else:
             assert (np.where(a_val, a_ids, -1)
                     == np.where(d_val, d_ids, -1)).all()
+
+
+def test_keep_nearest_matches_rank_rule():
+    """keep_nearest (value sort + threshold + tie prefix) must equal the
+    double-argsort rank rule valid & (row_ranks(d) < k) bit-for-bit,
+    including tied values, k=0, k>num_valid, and all-invalid rows."""
+    from pcgnn_tpu.ops.aggregate import keep_nearest
+
+    rng = np.random.default_rng(13)
+    for trial in range(20):
+        b = int(rng.integers(1, 40))
+        dcols = int(rng.integers(1, 60))
+        d = rng.normal(size=(b, dcols)).astype(np.float32)
+        if trial % 2:
+            d = np.round(d, 1)  # force ties
+        valid = rng.random((b, dcols)) > 0.3
+        if trial % 5 == 0:
+            valid[0, :] = False
+        k = rng.integers(0, dcols + 2, size=b).astype(np.int32)
+        dj = jnp.where(jnp.asarray(valid), jnp.asarray(d), jnp.inf)
+        got = np.asarray(keep_nearest(dj, jnp.asarray(k), jnp.asarray(valid)))
+        want = np.asarray(
+            jnp.asarray(valid) & (row_ranks(dj) < jnp.asarray(k)[:, None]))
+        np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")

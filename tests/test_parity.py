@@ -69,3 +69,37 @@ def test_batch_weight_masks_padding(setup):
     masked = model.loss(params, g, batch2, y2, w2,
                         train_pos=tp, train_pos_valid=tpv)
     np.testing.assert_allclose(float(masked), float(full), rtol=1e-5)
+
+
+def test_score_from_window_path_matches_table_path(monkeypatch):
+    """The large-graph lazy scoring path (scores computed on gathered
+    windows, O(B·D·F)/step) must agree with the small-graph score-table
+    path (one [N,F]x[F,2] matmul) — same math, different evaluation
+    order, so allclose rather than bitwise."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pcgnn_tpu.data.synthetic import synthetic_fraud_graph
+    from pcgnn_tpu.models import pcgnn as pcgnn_mod
+    from pcgnn_tpu.models import build_model
+
+    g = synthetic_fraud_graph("tiny", seed=5)
+    model = build_model("PCGNN", feat_dim=g.feat_dim, emb_dim=16,
+                        num_relations=g.num_relations, alpha=2.0, rho=0.5)
+    params = model.init(jax.random.key(0))
+    labels = np.asarray(g.labels)
+    tp = jnp.asarray(np.flatnonzero(labels == 1)[:16], jnp.int32)
+    tpv = jnp.ones(tp.shape[0], bool)
+    batch = jnp.asarray(np.arange(48), jnp.int32)
+    y = jnp.asarray(labels[:48], jnp.int32)
+
+    outs = {}
+    for name, thresh in [("table", 10 ** 9), ("window", 1)]:
+        monkeypatch.setattr(pcgnn_mod, "SCORE_FROM_WINDOW_MIN_NODES", thresh)
+        logits, cs = model.forward(params, g, batch, y, train=True,
+                                   train_pos=tp, train_pos_valid=tpv)
+        outs[name] = (np.asarray(logits), np.asarray(cs))
+    np.testing.assert_allclose(outs["table"][0], outs["window"][0],
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(outs["table"][1], outs["window"][1],
+                               rtol=2e-5, atol=2e-6)
