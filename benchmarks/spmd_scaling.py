@@ -1,0 +1,124 @@
+"""SPMD scaling harness: PC-GNN train step over ('data', 'graph') meshes.
+
+Runs the shard_map training step (``pcgnn_tpu.parallel.spmd``) over a range
+of mesh shapes and reports per-step wall time and weak-scaling throughput.
+
+On a real pod the mesh maps to chips over ICI; here it runs on N virtual
+CPU devices (``--xla_force_host_platform_device_count``), which validates
+the communication pattern (score-halo all-gather + partial-aggregate psum
+over 'graph', batch sharding + loss psum over 'data') and gives *relative*
+numbers bounded by host cores — not ICI-grade scaling.
+
+Usage:  python benchmarks/spmd_scaling.py [--devices 8] [--preset small]
+Prints one JSON line per mesh shape.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--preset", default="small")
+    ap.add_argument("--batch_per_data", type=int, default=256,
+                    help="batch rows per 'data'-axis device (weak scaling)")
+    ap.add_argument("--steps", type=int, default=10)
+    args = ap.parse_args()
+
+    # the device-count flag must be in the environment BEFORE any jax
+    # backend initializes (a sitecustomize may import jax first); re-exec
+    # with it set if missing
+    flag = f"--xla_force_host_platform_device_count={args.devices}"
+    if flag not in os.environ.get("XLA_FLAGS", ""):
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "") + " " + flag)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+    import jax
+    # must run on the virtual CPU mesh; axon's sitecustomize overrides
+    # JAX_PLATFORMS=cpu, so force it in-process BEFORE any backend query
+    # (even jax.default_backend() would lock in the platform choice)
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pcgnn_tpu.data.synthetic import synthetic_fraud_graph
+    from pcgnn_tpu.models import build_model
+    from pcgnn_tpu.parallel.mesh import make_mesh
+    from pcgnn_tpu.parallel.spmd import (
+        make_spmd_train_step,
+        pad_graph_for_mesh,
+        shard_batch,
+    )
+    from pcgnn_tpu.train.trainer import torch_adam
+
+    nd = len(jax.devices())
+    assert nd >= args.devices, f"only {nd} devices"
+
+    g = synthetic_fraud_graph(args.preset, seed=2)
+    model = build_model("PCGNN", feat_dim=g.feat_dim, emb_dim=64,
+                        num_relations=g.num_relations, alpha=2.0, rho=0.5)
+    params0 = model.init(jax.random.key(0))
+    labels = np.asarray(g.labels)
+    train_pos = np.flatnonzero(labels == 1)[:256]
+    tp = jnp.asarray(train_pos, jnp.int32)
+    tpv = jnp.ones(len(train_pos), bool)
+    tx = torch_adam(0.01, 0.001)
+
+    shapes = []
+    d = 1
+    while d <= args.devices:
+        shapes.append((d, 1))       # data-parallel scaling
+        if d > 1:
+            shapes.append((1, d))   # graph-partition scaling
+        d *= 2
+
+    results = []
+    for dd, dg in shapes:
+        mesh = make_mesh(data=dd, graph=dg,
+                         devices=jax.devices()[: dd * dg])
+        x_sharded, n_pad = pad_graph_for_mesh(g, mesh)
+        step = make_spmd_train_step(model, g, mesh, tx, x_sharded, n_pad)
+        b = args.batch_per_data * dd
+        rng = np.random.default_rng(0)
+        batch = jnp.asarray(rng.integers(0, g.num_nodes, b), jnp.int32)
+        y = jnp.asarray(labels[np.asarray(batch)], jnp.int32)
+        w = jnp.ones((b,), jnp.float32)
+        batch, y, w = shard_batch(mesh, batch, y, w)
+        params = jax.tree.map(jnp.array, params0)
+        opt_state = tx.init(params)
+        params, opt_state, loss = step(params, opt_state, batch, y, w, tp, tpv)
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            params, opt_state, loss = step(params, opt_state, batch, y, w,
+                                           tp, tpv)
+        jax.block_until_ready(loss)
+        dt = (time.perf_counter() - t0) / args.steps
+        rec = {
+            "mesh": f"data={dd} graph={dg}",
+            "batch": b,
+            "step_ms": round(dt * 1e3, 2),
+            "rows_per_s": round(b / dt, 1),
+            "loss": round(float(loss), 4),
+        }
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    base = next(r for r in results if r["mesh"] == "data=1 graph=1")
+    for r in results:
+        r["weak_scaling_eff"] = round(
+            (r["rows_per_s"] / base["rows_per_s"])
+            / (r["batch"] / base["batch"]), 3)
+    print(json.dumps({"summary": [
+        {k: r[k] for k in ("mesh", "step_ms", "rows_per_s",
+                           "weak_scaling_eff")} for r in results]}))
+
+
+if __name__ == "__main__":
+    main()

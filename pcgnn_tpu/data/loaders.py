@@ -133,7 +133,9 @@ def save_native(path: str, graph: MultiRelGraph) -> None:
     for i, rel in enumerate([*graph.relations, graph.homo]):
         tag = f"rel{i}" if i < graph.num_relations else "homo"
         e = rel.num_edges
-        arrays[f"{tag}_row"] = np.asarray(rel.row)[:e]
+        indptr = np.asarray(rel.indptr)
+        arrays[f"{tag}_row"] = np.repeat(
+            np.arange(rel.num_nodes), np.diff(indptr)).astype(np.int32)[:e]
         arrays[f"{tag}_col"] = np.asarray(rel.col)[:e]
     np.savez_compressed(path, **arrays)
 

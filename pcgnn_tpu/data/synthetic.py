@@ -15,7 +15,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from pcgnn_tpu.graph.csr import MultiRelGraph, build_multirel, csr_from_edges
+from pcgnn_tpu.graph.csr import (MultiRelGraph, build_multirel,
+                                 csr_from_edges, degree_stub)
 
 # shape statistics of the reference datasets (SURVEY.md §6)
 PRESETS = {
@@ -87,7 +88,15 @@ def synthetic_fraud_graph(
         all_src.append(src)
         all_dst.append(dst)
 
-    homo = csr_from_edges(
-        np.concatenate(all_src), np.concatenate(all_dst), n,
-        threshold=threshold, symmetrize=symmetrize)
+    if preset in _DIRECTED_PRESETS:
+        # stress presets: the homo graph only feeds pick-sampler degrees;
+        # a degree-only stub avoids hosting a 200M-edge CSR in HBM
+        deg = np.ones(n, np.int64)  # self-loop
+        for src, dst in zip(all_src, all_dst):
+            deg += np.bincount(src, minlength=n)
+        homo = degree_stub(deg, threshold=threshold)
+    else:
+        homo = csr_from_edges(
+            np.concatenate(all_src), np.concatenate(all_dst), n,
+            threshold=threshold, symmetrize=symmetrize)
     return build_multirel(rels, homo, feats, labels)

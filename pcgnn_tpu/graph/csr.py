@@ -9,7 +9,7 @@ host; every epoch then runs as pure array programs.
 Per relation we keep:
   * ``indptr [N+1]``  — row pointers.
   * ``col    [E_pad]``— column (neighbor) ids, padded with ``N`` (a dummy id).
-  * ``row    [E_pad]``— row id per edge (CSR-expanded), padded with ``N``.
+  * ``edge_rows()``   — per-edge row ids, derived on device from indptr.
   * ``deg    [N]``    — row degree (self-loops included, as in the reference).
   * ``keff   [N]``    — number of neighbors the *choose* step keeps:
         k      = ceil(threshold * deg)              (``src/layers.py:260-262``)
@@ -38,11 +38,15 @@ def _round_up(x: int, m: int) -> int:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class RelGraph:
-    """One relation's static CSR. A pytree; safe to close over or pass to jit."""
+    """One relation's static CSR. A pytree; safe to pass to jit as an arg.
+
+    The CSR-expanded per-edge row array is NOT stored (at stress scale it
+    is gigabytes of HBM used only by full-graph paths); ``edge_rows()``
+    derives it from ``indptr`` on device when needed.
+    """
 
     indptr: jax.Array  # [N+1] int32
     col: jax.Array     # [E_pad] int32, padding = N
-    row: jax.Array     # [E_pad] int32, padding = N
     deg: jax.Array     # [N] int32
     keff: jax.Array    # [N] int32
     ksample: jax.Array  # [N] int32: ceil(threshold*deg) — oversample base count
@@ -62,6 +66,16 @@ class RelGraph:
     @property
     def e_pad(self) -> int:
         return self.col.shape[0]
+
+    def edge_rows(self) -> jax.Array:
+        """[E_pad] per-edge CSR row ids (padding edges get ``num_nodes``),
+        derived on device from ``indptr``: row[e] = searchsorted(indptr, e,
+        'right') - 1.  O(E log N); call inside jit."""
+        e = self.col.shape[0]
+        eidx = jax.lax.broadcasted_iota(jnp.int32, (e, 1), 0)[:, 0]
+        row = jnp.searchsorted(self.indptr, eidx, side="right",
+                               method="sort").astype(jnp.int32) - 1
+        return jnp.where(eidx < self.num_edges, row, self.num_nodes)
 
 
 @jax.tree_util.register_dataclass
@@ -113,10 +127,10 @@ def csr_from_edges(
     from pcgnn_tpu import native
     if native.available():
         # multi-threaded C++ core: counting + per-row sorts, no global key sort
-        indptr, col, row = native.build_csr(
+        indptr, col, _row = native.build_csr(
             src, dst, num_nodes, symmetrize=symmetrize,
             add_self_loops=add_self_loops)
-        return _finalize(indptr, col, row, num_nodes, threshold,
+        return _finalize(indptr, col, num_nodes, threshold,
                          edge_pad_multiple)
     if symmetrize:
         src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
@@ -133,7 +147,7 @@ def csr_from_edges(
     deg = np.bincount(src, minlength=num_nodes).astype(np.int64)
     indptr = np.zeros(num_nodes + 1, dtype=np.int64)
     np.cumsum(deg, out=indptr[1:])
-    return _finalize(indptr, dst, src, num_nodes, threshold, edge_pad_multiple)
+    return _finalize(indptr, dst, num_nodes, threshold, edge_pad_multiple)
 
 
 def csr_from_scipy(mat, *, threshold: float = 0.5, add_self_loops: bool = True,
@@ -163,8 +177,7 @@ def csr_from_adj_dict(adj: dict, num_nodes: int, *, threshold: float = 0.5,
     for n, neighs in adj.items():
         s, e = indptr[int(n)], indptr[int(n) + 1]
         col[s:e] = sorted(int(x) for x in neighs)
-    row = np.repeat(np.arange(num_nodes, dtype=np.int64), deg)
-    return _finalize(indptr, col, row, num_nodes, threshold, edge_pad_multiple)
+    return _finalize(indptr, col, num_nodes, threshold, edge_pad_multiple)
 
 
 # dense neighbor-table HBM budget (bytes); tables above this stay CSR-only
@@ -184,7 +197,7 @@ def _dense_neighbor_table(indptr: np.ndarray, col: np.ndarray,
     return nbr2d
 
 
-def _finalize(indptr: np.ndarray, col: np.ndarray, row: np.ndarray,
+def _finalize(indptr: np.ndarray, col: np.ndarray,
               num_nodes: int, threshold: float, edge_pad_multiple: int) -> RelGraph:
     num_edges = int(indptr[-1])
     deg = np.diff(indptr).astype(np.int32)
@@ -193,15 +206,12 @@ def _finalize(indptr: np.ndarray, col: np.ndarray, row: np.ndarray,
     keff = np.where(deg <= k + 1, deg, k).astype(np.int32)
     e_pad = max(_round_up(max(num_edges, 1), edge_pad_multiple), edge_pad_multiple)
     col_p = np.full(e_pad, num_nodes, dtype=np.int32)
-    row_p = np.full(e_pad, num_nodes, dtype=np.int32)
     col_p[:num_edges] = col
-    row_p[:num_edges] = row
     dmax = int(deg.max()) if num_nodes else 0
     nbr2d = _dense_neighbor_table(indptr, col[:num_edges], num_nodes, dmax)
     return RelGraph(
         indptr=jnp.asarray(indptr, dtype=jnp.int32),
         col=jnp.asarray(col_p),
-        row=jnp.asarray(row_p),
         deg=jnp.asarray(deg),
         keff=jnp.asarray(keff),
         ksample=jnp.asarray(k),
@@ -210,6 +220,31 @@ def _finalize(indptr: np.ndarray, col: np.ndarray, row: np.ndarray,
         dmax=dmax,
         ksample_max=int(k.max()) if num_nodes else 0,
         nbr2d=jnp.asarray(nbr2d) if nbr2d is not None else None,
+    )
+
+
+def degree_stub(deg: np.ndarray, *, threshold: float = 0.5) -> RelGraph:
+    """A degree-only RelGraph: real ``deg``/``keff``/``ksample`` but a
+    1-slot edge list.  Used where only degrees are consumed (e.g. the homo
+    graph of stress presets feeds nothing but the pick sampler's weights) —
+    a 200M-edge homo CSR would cost ~1.6 GB of HBM for those degrees alone.
+    Neighbor windows over a stub are empty; full-graph paths must not use it.
+    """
+    deg = np.asarray(deg)
+    num_nodes = int(deg.shape[0])
+    k = np.ceil(threshold * deg).astype(np.int32)
+    keff = np.where(deg <= k + 1, deg, k).astype(np.int32)
+    return RelGraph(
+        indptr=jnp.zeros(num_nodes + 1, jnp.int32),
+        col=jnp.full((128,), num_nodes, jnp.int32),
+        deg=jnp.asarray(deg, jnp.int32),
+        keff=jnp.asarray(keff),
+        ksample=jnp.asarray(k),
+        num_nodes=num_nodes,
+        num_edges=0,
+        dmax=0,
+        ksample_max=int(k.max()) if num_nodes else 0,
+        nbr2d=None,
     )
 
 

@@ -441,14 +441,15 @@ def segment_mean_spmm(rel: RelGraph, features: jax.Array,
     n = rel.num_nodes
     feats_pad = jnp.concatenate(
         [features, jnp.zeros((1, features.shape[1]), features.dtype)], axis=0)
+    row = rel.edge_rows()
     vals = feats_pad[rel.col]                                # [E_pad, F]
-    w = (rel.row < n)
+    w = (row < n)
     if keep is not None:
         w = w & keep
     vals = vals * w[:, None].astype(features.dtype)
-    seg = jax.ops.segment_sum(vals, rel.row, num_segments=n + 1,
+    seg = jax.ops.segment_sum(vals, row, num_segments=n + 1,
                               indices_are_sorted=True)
-    cnt = jax.ops.segment_sum(w.astype(features.dtype), rel.row,
+    cnt = jax.ops.segment_sum(w.astype(features.dtype), row,
                               num_segments=n + 1, indices_are_sorted=True)
     out = seg[:n] / jnp.maximum(cnt[:n, None], 1.0)
     return out

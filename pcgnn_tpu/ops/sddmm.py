@@ -26,8 +26,9 @@ def edge_abs_diff(rel: RelGraph, s0: jax.Array) -> jax.Array:
       dist: [E_pad] float32; padding edges get +inf.
     """
     s0p = jnp.concatenate([s0, jnp.zeros((1,), s0.dtype)])
-    d = jnp.abs(s0p[rel.row] - s0p[rel.col])
-    return jnp.where(rel.row < rel.num_nodes, d, jnp.inf)
+    row = rel.edge_rows()
+    d = jnp.abs(s0p[row] - s0p[rel.col])
+    return jnp.where(row < rel.num_nodes, d, jnp.inf)
 
 
 def edge_ranks_global(rel: RelGraph, dist: jax.Array) -> jax.Array:
@@ -38,7 +39,8 @@ def edge_ranks_global(rel: RelGraph, dist: jax.Array) -> jax.Array:
     """
     e = dist.shape[0]
     edge_ids = jax.lax.broadcasted_iota(jnp.int32, (e, 1), 0).squeeze(-1)
-    row_s, _, ids_s = jax.lax.sort((rel.row, dist, edge_ids), num_keys=2)
+    row_s, _, ids_s = jax.lax.sort((rel.edge_rows(), dist, edge_ids),
+                                   num_keys=2)
     # within-row position: sorted position minus the row's first position.
     # rows are contiguous in the sorted order and indptr gives exact starts.
     pos = jax.lax.broadcasted_iota(jnp.int32, (e, 1), 0).squeeze(-1)

@@ -71,11 +71,17 @@ def _block_partials(ids, keep, col_lo, block, x_local):
 
 
 def spmd_loss_fn(model: PCGNN, graph: MultiRelGraph, mesh: Mesh, n_pad: int):
-    """Build the shard_map'd loss(params, x_sharded, batch, y, w, tp, tpv)."""
-    block = n_pad // mesh.shape["graph"]
-    relations = graph.relations
+    """Build the shard_map'd
+    loss(params, x_sharded, relations, batch, y, w, tp, tpv).
 
-    def body(params, x_local, batch, y, w, train_pos, train_pos_valid):
+    The relation CSR arrays are an *argument* (replicated spec), not a
+    closure: closed-over arrays are baked into the compiled program as
+    literals, which overflows compile payloads at stress scale (same fix as
+    the single-chip trainer)."""
+    block = n_pad // mesh.shape["graph"]
+
+    def body(params, x_local, relations, batch, y, w, train_pos,
+             train_pos_valid):
         # ---- halo exchange: label-aware scores -------------------------- #
         clf = params["label_clf"]
         scores_local = jnp.dot(x_local, clf["w"], precision="highest",
@@ -98,7 +104,7 @@ def spmd_loss_fn(model: PCGNN, graph: MultiRelGraph, mesh: Mesh, n_pad: int):
 
         m_max = max(1, min(
             int(train_pos.shape[0]),
-            int(max(rel.ksample_max for rel in relations) * model.rho)))
+            int(max(rel.ksample_max for rel in graph.relations) * model.rho)))
         cand_ids, cand_valid = oversample_candidates(
             batch, s0_padded, train_pos, train_pos_valid, m_max)
 
@@ -140,8 +146,8 @@ def spmd_loss_fn(model: PCGNN, graph: MultiRelGraph, mesh: Mesh, n_pad: int):
     return shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), P("graph", None), P("data"), P("data"), P("data"),
-                  P(), P()),
+        in_specs=(P(), P("graph", None), P(), P("data"), P("data"),
+                  P("data"), P(), P()),
         out_specs=P(),
         check_vma=False,
     )
@@ -155,13 +161,18 @@ def make_spmd_train_step(model: PCGNN, graph: MultiRelGraph, mesh: Mesh,
     loss_fn = spmd_loss_fn(model, graph, mesh, n_pad)
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, batch, y, w, train_pos, train_pos_valid):
+    def _step(params, opt_state, x_sharded, relations, batch, y, w,
+              train_pos, train_pos_valid):
         loss, grads = jax.value_and_grad(
-            lambda p: loss_fn(p, x_sharded, batch, y, w,
+            lambda p: loss_fn(p, x_sharded, relations, batch, y, w,
                               train_pos, train_pos_valid))(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
+
+    def step(params, opt_state, batch, y, w, train_pos, train_pos_valid):
+        return _step(params, opt_state, x_sharded, graph.relations, batch,
+                     y, w, train_pos, train_pos_valid)
 
     return step
 

@@ -209,7 +209,22 @@ class Trainer:
             "tp": self.train_pos_dev,
             "tpv": self.train_pos_valid,
         }
-        graph = self.graph
+        # trim the jit graph argument to what the model consumes: PC-GNN
+        # never touches homo inside the step (pick weights are precomputed
+        # from homo degrees at init), and SAGE/GCN never touch relations.
+        # Aliasing homo to relations[0] shares buffers — no copy — and at
+        # stress scale keeps the (multi-GB) homo CSR out of the step's
+        # argument set.
+        full = self.graph
+        if is_pcgnn and full.num_relations:
+            graph = MultiRelGraph(relations=full.relations,
+                                  homo=full.relations[0],
+                                  features=full.features, labels=full.labels)
+        elif not is_pcgnn:
+            graph = MultiRelGraph(relations=(), homo=full.homo,
+                                  features=full.features, labels=full.labels)
+        else:
+            graph = full
         self.epoch_fn = lambda p, o, e: epoch_jit(p, o, e, graph, consts)
         self.epoch_block_fn = lambda p, o, e0, n: block_jit(p, o, e0, n,
                                                             graph, consts)

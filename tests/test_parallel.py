@@ -45,7 +45,7 @@ def test_spmd_loss_matches_single_device(setup, dd, dg):
     w = jnp.ones((b,), jnp.float32)
     batch_s, y_s, w_s = shard_batch(mesh, batch, y, w)
 
-    loss = loss_fn(params, x_sharded, batch_s, y_s, w_s, tp, tpv)
+    loss = loss_fn(params, x_sharded, g.relations, batch_s, y_s, w_s, tp, tpv)
     ref = model.loss(params, g, batch, y, train_pos=tp, train_pos_valid=tpv)
     np.testing.assert_allclose(float(loss), float(ref), rtol=1e-4)
 
@@ -87,7 +87,7 @@ def test_spmd_grads_match_single_device(setup):
     batch_s, y_s, w_s = shard_batch(mesh, batch, y, w)
 
     g_spmd = jax.grad(
-        lambda p: loss_fn(p, x_sharded, batch_s, y_s, w_s, tp, tpv))(params)
+        lambda p: loss_fn(p, x_sharded, g.relations, batch_s, y_s, w_s, tp, tpv))(params)
     g_ref = jax.grad(
         lambda p: model.loss(p, g, batch, y,
                              train_pos=tp, train_pos_valid=tpv))(params)
