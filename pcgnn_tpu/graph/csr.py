@@ -204,7 +204,14 @@ def _finalize(indptr: np.ndarray, col: np.ndarray,
     # choose keep-counts (see class docstring for the reference rule)
     k = np.ceil(threshold * deg).astype(np.int32)
     keff = np.where(deg <= k + 1, deg, k).astype(np.int32)
-    e_pad = max(_round_up(max(num_edges, 1), edge_pad_multiple), edge_pad_multiple)
+    # pad the edge array beyond num_edges so the Pallas ragged window gather
+    # can DMA the 1024-aligned superset of [start, start+dmax_pad) for ANY
+    # row without bounds checks (ops.pallas.ragged_gather: span =
+    # roundup1024(d_pad) + 1024 from a 1024-aligned start <= num_edges)
+    dmax_host = int(deg.max()) if num_nodes else 0
+    win_pad = _round_up(_round_up(max(dmax_host, 1), 128), 1024) + 1024
+    e_pad = max(_round_up(max(num_edges, 1) + win_pad,
+                          max(edge_pad_multiple, 1024)), 1024)
     col_p = np.full(e_pad, num_nodes, dtype=np.int32)
     col_p[:num_edges] = col
     dmax = int(deg.max()) if num_nodes else 0
@@ -236,7 +243,9 @@ def degree_stub(deg: np.ndarray, *, threshold: float = 0.5) -> RelGraph:
     keff = np.where(deg <= k + 1, deg, k).astype(np.int32)
     return RelGraph(
         indptr=jnp.zeros(num_nodes + 1, jnp.int32),
-        col=jnp.full((128,), num_nodes, jnp.int32),
+        # 2048 sentinel slots: enough for one full ragged-gather DMA span
+        # (roundup1024(128) + 1024), keeping even stub windows in bounds
+        col=jnp.full((2048,), num_nodes, jnp.int32),
         deg=jnp.asarray(deg, jnp.int32),
         keff=jnp.asarray(keff),
         ksample=jnp.asarray(k),

@@ -64,6 +64,16 @@ def batch_neighbor_window(rel: RelGraph, batch: jax.Array):
         # (XLA lowers the scattered pos-gather poorly on TPU)
         return rel.nbr2d[batch], valid
     starts = rel.indptr[batch]                       # [B]
+    from pcgnn_tpu.ops.pallas import ragged_gather
+    if ragged_gather.available():
+        # each row's window is a CONTIGUOUS run col[start : start+D]; the
+        # Pallas kernel turns it into per-row double-buffered DMAs instead
+        # of XLA's scattered element gather (the edge array is padded by a
+        # full window at build time, so no bounds checks are needed)
+        d_pad = _round_up(d, 128)
+        raw = ragged_gather.ragged_window_gather(rel.col, starts, d_pad)
+        nbr = jnp.where(valid, raw[:, :d], rel.num_nodes)
+        return nbr, valid
     pos = jnp.where(valid, starts[:, None] + offs, 0)
     nbr = jnp.where(valid, rel.col[pos], rel.num_nodes)
     return nbr, valid

@@ -249,3 +249,35 @@ def test_keep_nearest_matches_rank_rule():
         want = np.asarray(
             jnp.asarray(valid) & (row_ranks(dj) < jnp.asarray(k)[:, None]))
         np.testing.assert_array_equal(got, want, err_msg=f"trial {trial}")
+
+
+def test_ragged_window_gather_interpret_matches_numpy():
+    """Pallas ragged contiguous-run gather (interpret mode on CPU) must
+    reproduce per-row numpy slices, including ragged B and repeated rows."""
+    from pcgnn_tpu.ops.pallas.ragged_gather import ragged_window_gather
+
+    rng = np.random.default_rng(5)
+    e = 8192
+    col = jnp.asarray(rng.integers(0, 999, e), jnp.int32)
+    # bound from the kernel doc: E >= align1024(max start) + 2048
+    starts = jnp.asarray(
+        np.concatenate([rng.integers(0, e - 3 * 1024, 21), [0, 0]]), jnp.int32)
+    out = np.asarray(ragged_window_gather(col, starts, 128, interpret=True))
+    want = np.stack([np.asarray(col)[s:s + 128] for s in np.asarray(starts)])
+    np.testing.assert_array_equal(out, want)
+
+
+def test_csr_fallback_gather_unaffected_by_edge_padding():
+    """The build-time window padding of the edge array must not change the
+    CSR fallback gather results (padding entries are sentinels)."""
+    import dataclasses
+
+    g = _tiny_graph()
+    rng = np.random.default_rng(1)
+    for rel in g.relations:
+        rel_csr = dataclasses.replace(rel, nbr2d=None)
+        batch = jnp.asarray(rng.integers(0, rel.num_nodes, 33), jnp.int32)
+        nbr_c, val_c = batch_neighbor_window(rel_csr, batch)
+        nbr_d, val_d = batch_neighbor_window(rel, batch)
+        np.testing.assert_array_equal(np.asarray(nbr_c), np.asarray(nbr_d))
+        np.testing.assert_array_equal(np.asarray(val_c), np.asarray(val_d))
