@@ -132,6 +132,11 @@ def save_native(path: str, graph: MultiRelGraph) -> None:
     }
     for i, rel in enumerate([*graph.relations, graph.homo]):
         tag = f"rel{i}" if i < graph.num_relations else "homo"
+        if rel.is_stub:
+            raise ValueError(
+                f"save_native: relation {tag!r} is a degree-only stub "
+                "(graph.csr.degree_stub); serializing it would write 0 "
+                "edges and silently change pick weights on reload.")
         e = rel.num_edges
         indptr = np.asarray(rel.indptr)
         arrays[f"{tag}_row"] = np.repeat(

@@ -90,10 +90,14 @@ def synthetic_fraud_graph(
 
     if preset in _DIRECTED_PRESETS:
         # stress presets: the homo graph only feeds pick-sampler degrees;
-        # a degree-only stub avoids hosting a 200M-edge CSR in HBM
-        deg = np.ones(n, np.int64)  # self-loop
-        for src, dst in zip(all_src, all_dst):
-            deg += np.bincount(src, minlength=n)
+        # a degree-only stub avoids hosting a 200M-edge CSR in HBM.  The
+        # degrees apply the same set semantics csr_from_edges would: dedupe
+        # (src, dst) pairs across relations and fold the self-loop into the
+        # unique set (so a random src==dst edge is not double-counted).
+        loops = np.arange(n, dtype=np.int64)
+        key = np.unique(np.concatenate(
+            [s * n + d for s, d in zip(all_src, all_dst)] + [loops * n + loops]))
+        deg = np.bincount((key // n).astype(np.int64), minlength=n)
         homo = degree_stub(deg, threshold=threshold)
     else:
         homo = csr_from_edges(

@@ -56,6 +56,10 @@ class RelGraph:
     # static bound on ksample over all nodes: sizes the compact oversample
     # candidate window (ops.aggregate.oversample_candidates)
     ksample_max: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # True for degree-only stubs (``degree_stub``): deg/keff are real but the
+    # edge list is empty.  Window/full-graph consumers must reject stubs —
+    # otherwise they would silently aggregate zero phantom neighbors.
+    is_stub: bool = dataclasses.field(default=False, metadata=dict(static=True))
     # optional dense [N, dmax] neighbor table (padding = N).  XLA lowers the
     # strided CSR window gather to a slow scattered gather (~5ms at YelpChi
     # scale); a row gather from this table is 5.7x faster.  Built when the
@@ -210,8 +214,10 @@ def _finalize(indptr: np.ndarray, col: np.ndarray,
     # roundup1024(d_pad) + 1024 from a 1024-aligned start <= num_edges)
     dmax_host = int(deg.max()) if num_nodes else 0
     win_pad = _round_up(_round_up(max(dmax_host, 1), 128), 1024) + 1024
+    # lcm keeps the edge array 1024-divisible (a ragged_window_gather
+    # invariant) for ANY caller-chosen edge_pad_multiple
     e_pad = max(_round_up(max(num_edges, 1) + win_pad,
-                          max(edge_pad_multiple, 1024)), 1024)
+                          math.lcm(max(edge_pad_multiple, 1), 1024)), 1024)
     col_p = np.full(e_pad, num_nodes, dtype=np.int32)
     col_p[:num_edges] = col
     dmax = int(deg.max()) if num_nodes else 0
@@ -253,6 +259,7 @@ def degree_stub(deg: np.ndarray, *, threshold: float = 0.5) -> RelGraph:
         num_edges=0,
         dmax=0,
         ksample_max=int(k.max()) if num_nodes else 0,
+        is_stub=True,
         nbr2d=None,
     )
 

@@ -55,6 +55,12 @@ def batch_neighbor_window(rel: RelGraph, batch: jax.Array):
       nbr:   [B, D] int32 neighbor ids, padding slots = ``rel.num_nodes``.
       valid: [B, D] bool, True where the slot holds a real neighbor.
     """
+    if rel.is_stub:
+        raise ValueError(
+            "batch_neighbor_window called on a degree-only stub relation "
+            "(graph.csr.degree_stub): its edge list is empty, so window "
+            "aggregation would silently average zero phantom neighbors. "
+            "Stubs may only feed degree consumers (the pick sampler).")
     d = max(rel.dmax, 1)
     degs = rel.deg[batch]                            # [B]
     offs = jax.lax.broadcasted_iota(jnp.int32, (batch.shape[0], d), 1)
@@ -448,6 +454,9 @@ def segment_mean_spmm(rel: RelGraph, features: jax.Array,
     partitioning) where a [B, N] dense mask would not fit.  ``keep`` is an
     optional [E_pad] bool edge filter.
     """
+    if rel.is_stub:
+        raise ValueError("segment_mean_spmm called on a degree-only stub "
+                         "relation (empty edge list); see degree_stub.")
     n = rel.num_nodes
     feats_pad = jnp.concatenate(
         [features, jnp.zeros((1, features.shape[1]), features.dtype)], axis=0)

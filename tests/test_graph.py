@@ -74,3 +74,75 @@ def test_padding_sentinels():
     col = np.asarray(rel.col)
     assert (col[rel.num_edges:] == 3).all()
     assert rel.e_pad % 128 == 0
+
+
+def test_edge_pad_multiple_keeps_1024_divisibility():
+    # a non-1024-divisible pad multiple must not break the ragged-gather
+    # invariant (ADVICE r1: lcm rounding in _finalize)
+    rel = csr_from_edges([0, 1, 2], [1, 2, 3], 8, edge_pad_multiple=1536)
+    assert rel.e_pad % 1024 == 0
+    assert rel.e_pad % 1536 == 0
+
+
+def test_degree_stub_rejected_by_window_consumers():
+    import jax.numpy as jnp
+
+    from pcgnn_tpu.graph.csr import degree_stub
+    from pcgnn_tpu.ops.aggregate import batch_neighbor_window, segment_mean_spmm
+
+    stub = degree_stub(np.array([3, 2, 5]))
+    assert stub.is_stub
+    with pytest.raises(ValueError, match="stub"):
+        batch_neighbor_window(stub, jnp.array([0, 1], jnp.int32))
+    with pytest.raises(ValueError, match="stub"):
+        segment_mean_spmm(stub, jnp.zeros((3, 4), jnp.float32))
+
+
+def test_save_native_rejects_stub(tmp_path):
+    import jax.numpy as jnp
+
+    from pcgnn_tpu.data.loaders import save_native
+    from pcgnn_tpu.graph.csr import build_multirel, degree_stub
+
+    rel = csr_from_edges([0, 1], [1, 2], 3)
+    stub = degree_stub(np.array([2, 2, 2]))
+    g = build_multirel([rel], stub, np.zeros((3, 4), np.float32),
+                       np.zeros(3, np.int64))
+    with pytest.raises(ValueError, match="stub"):
+        save_native(str(tmp_path / "g.npz"), g)
+
+
+def test_directed_stub_homo_degrees_deduped():
+    # stress presets derive stub-homo degrees with the same set semantics a
+    # real homo CSR would apply (ADVICE r1): duplicates and self edges
+    # collapse
+    from pcgnn_tpu.data import synthetic
+
+    synthetic.PRESETS["_test-directed"] = (64, 8, 0.2, (256, 128), 2)
+    synthetic._DIRECTED_PRESETS.add("_test-directed")
+    try:
+        g = synthetic.synthetic_fraud_graph("_test-directed", seed=3)
+        # rebuild the exact homo CSR from the same edge draws
+        rng = np.random.default_rng(3)
+        labels = (rng.random(64) < 0.2).astype(np.int64)
+        direction = rng.normal(size=(8,))
+        rng.normal(size=(64, 8))
+        pos = np.flatnonzero(labels == 1)
+        neg = np.flatnonzero(labels == 0)
+        keys = [np.arange(64) * 64 + np.arange(64)]
+        for e_count in (256, 128):
+            src = rng.integers(0, 64, size=e_count)
+            homo_edge = rng.random(e_count) < 0.5
+            dst_uniform = rng.integers(0, 64, size=e_count)
+            dst_same = np.where(
+                labels[src] == 1,
+                pos[rng.integers(0, len(pos), size=e_count)],
+                neg[rng.integers(0, len(neg), size=e_count)])
+            dst = np.where(homo_edge, dst_same, dst_uniform)
+            keys.append(src * 64 + dst)
+        key = np.unique(np.concatenate(keys))
+        want = np.bincount(key // 64, minlength=64)
+        assert np.array_equal(np.asarray(g.homo.deg), want)
+    finally:
+        synthetic.PRESETS.pop("_test-directed")
+        synthetic._DIRECTED_PRESETS.discard("_test-directed")
