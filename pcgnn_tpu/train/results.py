@@ -76,7 +76,53 @@ class ResultManager:
             self.df_val.loc[idx, k] = v
         self.df_val.to_pickle(self.df_val_path)
 
+    # metric-line key -> DataFrame column (reference src/result_manager.py:63-71)
+    _LOG_METRIC_COLS = (
+        ("accuracy", "accuracy"), ("f1", "f1"), ("f1-macro", "f1_macro"),
+        ("precision", "precision"), ("ap", "precision_macro"),
+        ("recall", "recall"), ("recall-macro", "recall_macro"),
+        ("auc-roc", "auc"), ("gmean", "gmean"),
+    )
+
+    def load_df_test(self) -> pd.DataFrame:
+        """Rebuild the cumulative test DataFrame by re-parsing every test
+        ``.log`` of this (model, data) pair — crash recovery of the results
+        DB (reference ``src/result_manager.py:48-76``).  Logs whose run never
+        reached the final test (no "Test performance" line) are skipped."""
+        df = pd.DataFrame()
+        pair = f"{self.args['model']}-{self.args['data_name']}"
+        log_dir = self.dirs["log_test"]
+        paths = [os.path.join(log_dir, name) for name in sorted(os.listdir(log_dir))
+                 if pair in name]
+        for path in paths:
+            with open(path) as f:
+                # the test line ends "\t\n" + the writer's own "\n", so the
+                # last stripped element is the empty trailer — drop it
+                lines = [ln.strip() for ln in f.readlines()][:-1]
+            if not lines:
+                continue
+            result = lines.pop()
+            if "Test performance" not in result:
+                continue
+            idx = len(df)
+            df.loc[idx, "exp_id"] = os.path.basename(path)[:-4]
+            metrics = dict(m.strip().split(": ", 1)
+                           for m in result.split("- ")[1:] if ": " in m)
+            metrics = {k.lower(): float(v) for k, v in metrics.items()}
+            df.loc[idx, "epoch_best"] = metrics["epoch_best"]
+            for key, col in self._LOG_METRIC_COLS:
+                df.loc[idx, col] = metrics.get(key, float("nan"))
+            cfg = dict(ln.split(": ", 1) for ln in lines if ": " in ln)
+            for key in sorted(cfg):
+                df.loc[idx, key] = cfg[key]
+        df.to_pickle(self.df_test_path)
+        self.df_test = df
+        return df
+
     def write_test_log(self, epoch_best: int, res, print_line=True):
+        # rebuild from logs first so the cumulative DF survives crashed or
+        # concurrently-written pickles (reference src/result_manager.py:119)
+        self.load_df_test()
         line = f"Test performance: - Epoch_Best: {epoch_best}\t" + res.line
         with open(self.log_test_path, "a") as f:
             f.write(line + "\n")
@@ -88,7 +134,9 @@ class ResultManager:
         for k, v in self._row(res).items():
             self.df_test.loc[idx, k] = v
         for k in sorted(self.args):
-            self.df_test.loc[idx, k] = self.args[k]
+            # str() so live-appended rows share dtype with rows re-parsed
+            # from .log files by load_df_test (which can only read strings)
+            self.df_test.loc[idx, k] = str(self.args[k])
         self.df_test.to_pickle(self.df_test_path)
 
     def get_best_model_exp_id(self, metric: str = "auc") -> str:
