@@ -26,10 +26,24 @@ PRESETS = {
     "amazon_new-like": (9840, 25, 0.4, (301834, 600000, 400000), 3),
     "tiny": (512, 16, 0.15, (2048, 3072, 1024), 3),
     "small": (4096, 32, 0.1, (16384, 32768, 8192), 3),
+    # heavy-tailed degree variants: uniform background plus a few hub rows
+    # with degree >= 50x the mean, mimicking the reference YelpChi RSR
+    # relation's same-star-same-month cliques (``src/utils.py:72-91``).
+    # Exercises the window cap + blockwise hub lane (graph.csr dcap,
+    # ops.hub).
+    "skew-tiny": (2048, 16, 0.15, (8192, 6144, 4096), 3),
+    "yelp-skew": (45954, 32, 0.145, (98630, 576724, 3402743), 3),
     # multi-host edge-partition stress (BASELINE.json config 5):
     # 10M nodes / 200M edges; directed (no symmetrize) to keep E exact
     "stress-10m": (10_000_000, 64, 0.05, (120_000_000, 60_000_000, 20_000_000), 3),
     "stress-1m": (1_000_000, 64, 0.05, (12_000_000, 6_000_000, 2_000_000), 3),
+}
+
+# per-relation hub injection: relation index -> (num_hubs, max_hub_degree).
+# Hub degrees decay harmonically from the max (a Zipf-ish tail).
+SKEW = {
+    "skew-tiny": {0: (6, 512)},
+    "yelp-skew": {2: (40, 20000)},
 }
 
 # presets that skip symmetrization (edge counts stay exact at scale)
@@ -70,9 +84,21 @@ def synthetic_fraud_graph(
 
     symmetrize = preset not in _DIRECTED_PRESETS
 
+    skew = SKEW.get(preset, {})
+    hub_ids = (rng.choice(n, size=max(s[0] for s in skew.values()),
+                          replace=False)
+               if skew else np.empty(0, np.int64))
+
     rels = []
     all_src, all_dst = [], []
-    for e_count in edges_per_relation:
+    for r, e_count in enumerate(edges_per_relation):
+        hub_src = hub_dst = np.empty(0, np.int64)
+        if r in skew:
+            n_hubs, max_deg = skew[r]
+            degs = np.maximum(max_deg // (1 + np.arange(n_hubs)), 2)
+            hub_src = np.repeat(hub_ids[:n_hubs], degs)
+            hub_dst = rng.integers(0, n, size=len(hub_src))
+            e_count = max(e_count - len(hub_src), 0)
         src = rng.integers(0, n, size=e_count)
         homo_edge = rng.random(e_count) < homophily
         # homophilous endpoints: same class as src; others uniform
@@ -83,6 +109,8 @@ def synthetic_fraud_graph(
             neg[rng.integers(0, len(neg), size=e_count)] if len(neg) else dst_uniform,
         )
         dst = np.where(homo_edge, dst_same, dst_uniform)
+        src = np.concatenate([src, hub_src])
+        dst = np.concatenate([dst, hub_dst])
         rels.append(csr_from_edges(src, dst, n, threshold=threshold,
                                    symmetrize=symmetrize))
         all_src.append(src)

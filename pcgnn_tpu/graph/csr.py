@@ -56,6 +56,14 @@ class RelGraph:
     # static bound on ksample over all nodes: sizes the compact oversample
     # candidate window (ops.aggregate.oversample_candidates)
     ksample_max: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # window cap: batch neighbor windows are [B, dcap], NOT [B, dmax].  On
+    # near-uniform graphs the build policy keeps dcap == dmax (single lane,
+    # identical to the uncapped layout); on heavy-tailed graphs (reference
+    # YelpChi RSR links whole same-star-same-month cliques,
+    # ``src/utils.py:72-91``) dcap ~ p99.5 of degree so per-step memory
+    # scales with touched edges, and rows with deg > dcap ("hubs") go
+    # through the blockwise ``ops.hub`` lane.  0 means "= dmax" (legacy).
+    dcap: int = dataclasses.field(default=0, metadata=dict(static=True))
     # True for degree-only stubs (``degree_stub``): deg/keff are real but the
     # edge list is empty.  Window/full-graph consumers must reject stubs —
     # otherwise they would silently aggregate zero phantom neighbors.
@@ -70,6 +78,17 @@ class RelGraph:
     @property
     def e_pad(self) -> int:
         return self.col.shape[0]
+
+    @property
+    def window_width(self) -> int:
+        """Static batch-window width: dcap, falling back to dmax."""
+        return self.dcap if self.dcap else max(self.dmax, 0)
+
+    @property
+    def has_hubs(self) -> bool:
+        """True when some rows exceed the window cap and need the
+        blockwise hub lane (``ops.hub``)."""
+        return self.window_width < self.dmax
 
     def edge_rows(self) -> jax.Array:
         """[E_pad] per-edge CSR row ids (padding edges get ``num_nodes``),
@@ -119,12 +138,16 @@ def csr_from_edges(
     add_self_loops: bool = True,
     symmetrize: bool = True,
     edge_pad_multiple: int = 128,
+    window_cap: int | None = None,
 ) -> RelGraph:
     """Build a RelGraph from a raw edge list.
 
     Reproduces the reference's offline prep ``sparse_to_adjlist``
     (``src/utils.py:226-242``): add self-loops, symmetrize, dedupe
     (set semantics), then lays the result out as padded CSR.
+
+    ``window_cap``: explicit batch-window cap (see ``RelGraph.dcap``);
+    None applies the automatic heavy-tail policy (``_window_cap``).
     """
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
@@ -135,7 +158,7 @@ def csr_from_edges(
             src, dst, num_nodes, symmetrize=symmetrize,
             add_self_loops=add_self_loops)
         return _finalize(indptr, col, num_nodes, threshold,
-                         edge_pad_multiple)
+                         edge_pad_multiple, window_cap)
     if symmetrize:
         src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
     if add_self_loops:
@@ -151,21 +174,24 @@ def csr_from_edges(
     deg = np.bincount(src, minlength=num_nodes).astype(np.int64)
     indptr = np.zeros(num_nodes + 1, dtype=np.int64)
     np.cumsum(deg, out=indptr[1:])
-    return _finalize(indptr, dst, num_nodes, threshold, edge_pad_multiple)
+    return _finalize(indptr, dst, num_nodes, threshold, edge_pad_multiple,
+                     window_cap)
 
 
 def csr_from_scipy(mat, *, threshold: float = 0.5, add_self_loops: bool = True,
-                   symmetrize: bool = True, edge_pad_multiple: int = 128) -> RelGraph:
+                   symmetrize: bool = True, edge_pad_multiple: int = 128,
+                   window_cap: int | None = None) -> RelGraph:
     """Build a RelGraph from a scipy sparse matrix (values ignored)."""
     coo = mat.tocoo()
     return csr_from_edges(
         coo.row, coo.col, mat.shape[0], threshold=threshold,
         add_self_loops=add_self_loops, symmetrize=symmetrize,
-        edge_pad_multiple=edge_pad_multiple)
+        edge_pad_multiple=edge_pad_multiple, window_cap=window_cap)
 
 
 def csr_from_adj_dict(adj: dict, num_nodes: int, *, threshold: float = 0.5,
-                      edge_pad_multiple: int = 128) -> RelGraph:
+                      edge_pad_multiple: int = 128,
+                      window_cap: int | None = None) -> RelGraph:
     """Build a RelGraph from a reference-format adjacency dict of sets.
 
     This ingests the pickled ``defaultdict(set)`` files the reference trains
@@ -181,7 +207,8 @@ def csr_from_adj_dict(adj: dict, num_nodes: int, *, threshold: float = 0.5,
     for n, neighs in adj.items():
         s, e = indptr[int(n)], indptr[int(n) + 1]
         col[s:e] = sorted(int(x) for x in neighs)
-    return _finalize(indptr, col, num_nodes, threshold, edge_pad_multiple)
+    return _finalize(indptr, col, num_nodes, threshold, edge_pad_multiple,
+                     window_cap)
 
 
 # dense neighbor-table HBM budget (bytes); tables above this stay CSR-only
@@ -189,39 +216,67 @@ NBR2D_BUDGET_BYTES = 512 * 1024 * 1024
 
 
 def _dense_neighbor_table(indptr: np.ndarray, col: np.ndarray,
-                          num_nodes: int, dmax: int) -> np.ndarray | None:
-    d = max(dmax, 1)
+                          num_nodes: int, width: int) -> np.ndarray | None:
+    """[N, width] row-major neighbor table; rows longer than ``width``
+    (hub rows under a window cap) keep only their first ``width`` CSR
+    entries — the hub lane reads their tails from the CSR directly."""
+    d = max(width, 1)
     if num_nodes * d * 4 > NBR2D_BUDGET_BYTES:
         return None
     nbr2d = np.full((num_nodes, d), num_nodes, dtype=np.int32)
     if len(col):
         rows = np.repeat(np.arange(num_nodes), np.diff(indptr))
         slots = np.arange(len(col)) - indptr[rows]
-        nbr2d[rows, slots] = col
+        fit = slots < d
+        nbr2d[rows[fit], slots[fit]] = col[fit]
     return nbr2d
 
 
+def _window_cap(deg: np.ndarray, dmax: int, window_cap: int | None) -> int:
+    """Batch-window width policy (``RelGraph.dcap``).
+
+    Near-uniform degree distributions keep ``dcap == dmax``: a single
+    window lane, bit-identical to the historical uncapped layout.  Heavy
+    tails (dmax far beyond the p99.5 degree — the YelpChi-RSR clique
+    pattern) cap at ~p99.5 so the per-step ``[B, dcap, F]`` gather cannot
+    blow up with the global max degree; the <0.5% of rows above the cap
+    route through the blockwise hub lane (``ops.hub``).
+    """
+    if window_cap is not None:
+        return min(int(window_cap), dmax)
+    if dmax <= 128 or deg.size == 0:
+        return dmax
+    cap = _round_up(max(int(np.percentile(deg, 99.5)), 16), 16)
+    return dmax if dmax <= 2 * cap else cap
+
+
 def _finalize(indptr: np.ndarray, col: np.ndarray,
-              num_nodes: int, threshold: float, edge_pad_multiple: int) -> RelGraph:
+              num_nodes: int, threshold: float, edge_pad_multiple: int,
+              window_cap: int | None = None) -> RelGraph:
     num_edges = int(indptr[-1])
     deg = np.diff(indptr).astype(np.int32)
     # choose keep-counts (see class docstring for the reference rule)
     k = np.ceil(threshold * deg).astype(np.int32)
     keff = np.where(deg <= k + 1, deg, k).astype(np.int32)
+    dmax = int(deg.max()) if num_nodes else 0
+    dcap = _window_cap(deg, dmax, window_cap)
     # pad the edge array beyond num_edges so the Pallas ragged window gather
     # can DMA the 1024-aligned superset of [start, start+dmax_pad) for ANY
     # row without bounds checks (ops.pallas.ragged_gather: span =
-    # roundup1024(d_pad) + 1024 from a 1024-aligned start <= num_edges)
-    dmax_host = int(deg.max()) if num_nodes else 0
-    win_pad = _round_up(_round_up(max(dmax_host, 1), 128), 1024) + 1024
+    # roundup1024(d_pad) + 1024 from a 1024-aligned start).  The hub lane
+    # (ops.hub) slides block starts up to indptr[v] + dmax, so the pad
+    # covers align1024(num_edges + dmax) + block_span: roundup1024(dmax)
+    # + 2048 beyond num_edges.
+    win_pad = _round_up(_round_up(max(dmax, 1), 128), 1024) + 2048
     # lcm keeps the edge array 1024-divisible (a ragged_window_gather
     # invariant) for ANY caller-chosen edge_pad_multiple
     e_pad = max(_round_up(max(num_edges, 1) + win_pad,
                           math.lcm(max(edge_pad_multiple, 1), 1024)), 1024)
     col_p = np.full(e_pad, num_nodes, dtype=np.int32)
     col_p[:num_edges] = col
-    dmax = int(deg.max()) if num_nodes else 0
-    nbr2d = _dense_neighbor_table(indptr, col[:num_edges], num_nodes, dmax)
+    # dense neighbor table holds only the window lane's first dcap slots;
+    # hub rows' tails are read straight from the CSR by the hub lane
+    nbr2d = _dense_neighbor_table(indptr, col[:num_edges], num_nodes, dcap)
     return RelGraph(
         indptr=jnp.asarray(indptr, dtype=jnp.int32),
         col=jnp.asarray(col_p),
@@ -232,6 +287,7 @@ def _finalize(indptr: np.ndarray, col: np.ndarray,
         num_edges=num_edges,
         dmax=dmax,
         ksample_max=int(k.max()) if num_nodes else 0,
+        dcap=dcap,
         nbr2d=jnp.asarray(nbr2d) if nbr2d is not None else None,
     )
 

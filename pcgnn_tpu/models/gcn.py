@@ -21,8 +21,9 @@ from pcgnn_tpu.models.initializers import xavier_uniform
 from pcgnn_tpu.ops.aggregate import (
     batch_neighbor_window,
     union_self_window,
-    window_mean_aggregate,
+    window_sum_from_gathered,
 )
+from pcgnn_tpu.ops.hub import hub_mean_sum
 
 
 class GCN:
@@ -42,11 +43,25 @@ class GCN:
 
     def _aggregate(self, graph: MultiRelGraph, batch: jax.Array, norm: str):
         rel = graph.homo
-        nbr, valid = batch_neighbor_window(rel, batch)
+        nbr, valid = batch_neighbor_window(rel, batch, allow_capped=True)
         nbr, keep = union_self_window(nbr, valid, batch)  # src/graphsage.py:210
         x = graph.features
         x_padded = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)])
-        return window_mean_aggregate(nbr, keep, x_padded, norm=norm)
+        if rel.has_hubs:
+            # rows above the window cap aggregate blockwise (ops.hub);
+            # mask them out of the window lane (incl. the union-self column)
+            is_hub = rel.deg[batch] > rel.window_width
+            keep = keep & ~is_hub[:, None]
+        num, cnt = window_sum_from_gathered(x_padded[nbr], keep)
+        if rel.has_hubs:
+            h_num, h_cnt = hub_mean_sum(rel, batch, is_hub, x_padded,
+                                        include_self=True)
+            num = jnp.where(is_hub[:, None], h_num, num)
+            cnt = jnp.where(is_hub, h_cnt, cnt)
+        denom = jnp.maximum(cnt, 1.0)
+        if norm == "sqrt":  # GCN row normalization (src/graphsage.py:224-226)
+            denom = jnp.sqrt(denom)
+        return num / denom[:, None]
 
     def forward(self, params, graph: MultiRelGraph, batch: jax.Array,
                 batch_labels=None, *, train: bool = True, **_):

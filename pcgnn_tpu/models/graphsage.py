@@ -32,8 +32,9 @@ from pcgnn_tpu.models.initializers import xavier_uniform
 from pcgnn_tpu.ops.aggregate import (
     batch_neighbor_window,
     union_self_window,
-    window_mean_aggregate,
+    window_sum_from_gathered,
 )
+from pcgnn_tpu.ops.hub import hub_mean_sum
 
 
 class GraphSage:
@@ -57,7 +58,13 @@ class GraphSage:
                 batch_labels=None, *, train: bool = True,
                 key: Optional[jax.Array] = None, **_):
         rel = graph.homo
-        nbr, valid = batch_neighbor_window(rel, batch)
+        if self.num_sample is not None and rel.has_hubs:
+            raise ValueError(
+                "GraphSage num_sample subsampling draws uniformly from the "
+                "FULL neighbor list (src/graphsage.py:70-76), which a "
+                "window-capped relation cannot expose; rebuild the graph "
+                "with window_cap disabled or drop num_sample.")
+        nbr, valid = batch_neighbor_window(rel, batch, allow_capped=True)
         if self.num_sample is not None:
             # uniform subsample of rows larger than num_sample: random
             # per-slot priorities, keep the num_sample smallest valid ranks
@@ -73,7 +80,16 @@ class GraphSage:
             nbr, valid = union_self_window(nbr, valid, batch)
         x = graph.features
         x_padded = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)])
-        neigh = window_mean_aggregate(nbr, valid, x_padded, norm="mean")
+        if rel.has_hubs:
+            is_hub = rel.deg[batch] > rel.window_width
+            valid = valid & ~is_hub[:, None]
+        num, cnt = window_sum_from_gathered(x_padded[nbr], valid)
+        if rel.has_hubs:
+            h_num, h_cnt = hub_mean_sum(rel, batch, is_hub, x_padded,
+                                        include_self=self.gcn_style)
+            num = jnp.where(is_hub[:, None], h_num, num)
+            cnt = jnp.where(is_hub, h_cnt, cnt)
+        neigh = num / jnp.maximum(cnt, 1.0)[:, None]
         if self.gcn_style:
             combined = neigh
         else:

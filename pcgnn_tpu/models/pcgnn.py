@@ -37,10 +37,13 @@ from pcgnn_tpu.ops.aggregate import (
     batch_neighbor_window,
     dedup_minor_keep,
     keep_nearest,
+    minor_dedup_threshold,
+    minor_sum,
     oversample_candidates_values,
     oversample_keep,
-    window_mean_from_gathered,
+    window_sum_from_gathered,
 )
+from pcgnn_tpu.ops.hub import hub_choose_sum
 
 # Node count above which per-step O(N) score materialization is replaced by
 # lazy on-window score computation (see PCGNN.forward).  The parity-tested
@@ -121,6 +124,17 @@ class PCGNN:
             return jnp.dot(xw_rows, w0, precision="highest",
                            preferred_element_type=jnp.float32) + b0
 
+        # heavy-tailed relations route rows above the window cap through the
+        # blockwise hub lane (ops.hub); its duplicate-minor subtraction needs
+        # a train-positive indicator column riding the gathered rows
+        any_hub = any(rel.has_hubs for rel in graph.relations)
+        need_tp = train and any_hub
+        if need_tp:
+            tp_rows = jnp.where(train_pos_valid, train_pos, n)
+            tp_mask = jnp.zeros((n + 1,), x.dtype).at[tp_rows].set(
+                1.0, mode="drop")   # invalid entries land in slot n,
+        extra = [tp_mask[:n, None]] if need_tp else []   # sliced away here
+
         if score_from_window:
             # gather plain features; scores computed on the window.  center,
             # neighbor and candidate scores all use the same [..., F]·w0
@@ -129,9 +143,9 @@ class PCGNN:
                 self_feats, clf["w"], precision="highest",
                 preferred_element_type=jnp.float32) + clf["b"]
             center_s0 = window_s0(self_feats)              # [B]
-            xs = jnp.concatenate(
-                [x, jnp.zeros((1, f), x.dtype)])           # sentinel row N
-            fcols = f
+            xs = jnp.concatenate([x] + extra, axis=1)
+            s0_col = None
+            tp_col = f if need_tp else None
         else:
             scores = jnp.dot(x, clf["w"], precision="highest",
                              preferred_element_type=jnp.float32) + clf["b"]
@@ -143,10 +157,12 @@ class PCGNN:
             # feature column: ONE [B, D, F+1] row gather per relation feeds
             # both the choose distance (column F) and the aggregation
             # (columns :F), instead of a separate s0[nbr] element gather.
-            xs = jnp.concatenate([x, s0_sg[:, None]], axis=1)   # [N, F+1]
-            xs = jnp.concatenate(
-                [xs, jnp.zeros((1, f + 1), xs.dtype)])     # sentinel row N
-            fcols = f + 1
+            xs = jnp.concatenate([x, s0_sg[:, None]] + extra, axis=1)
+            s0_col = f
+            tp_col = f + 1 if need_tp else None
+        fcols = xs.shape[1]
+        xs = jnp.concatenate(
+            [xs, jnp.zeros((1, fcols), xs.dtype)])         # sentinel row N
 
         if train:
             # candidate ordering is relation-independent: sort once, keep the
@@ -157,29 +173,45 @@ class PCGNN:
                 int(max(rel.ksample_max for rel in graph.relations) * self.rho)))
             tp_s0 = (window_s0(x[train_pos]) if score_from_window
                      else s0_sg[train_pos])                # [P]
-            cand_ids, cand_valid = oversample_candidates_values(
+            cand_ids, cand_valid, cand_dist = oversample_candidates_values(
                 center_s0, tp_s0, train_pos, train_pos_valid, m_max)
-            cand_xw = xs[cand_ids][..., :f]                # [B, M, F] rows
 
         rel_embs = []
         for r, rel in enumerate(graph.relations):
-            nbr, valid = batch_neighbor_window(rel, batch)
+            nbr, valid = batch_neighbor_window(rel, batch, allow_capped=True)
+            if rel.has_hubs:
+                is_hub = rel.deg[batch] > rel.window_width
+                valid = valid & ~is_hub[:, None]   # hubs leave the window lane
             xw = xs[nbr]                                   # [B, D, fcols] rows
             # choose: SDDMM distance on score channel 0 + exact ranks
             # (src/layers.py:655-672; keff folds keep-all-when-small)
-            nbr_s0 = window_s0(xw[..., :f]) if score_from_window else xw[..., f]
+            nbr_s0 = (window_s0(xw[..., :f]) if score_from_window
+                      else xw[..., s0_col])
             d = jnp.abs(center_s0[:, None] - nbr_s0)
             d = jnp.where(valid, d, _INF)
             keep = keep_nearest(d, rel.keff[batch], valid)
+            num, cnt = window_sum_from_gathered(xw[..., :f], keep)
+            if rel.has_hubs:
+                thr = (minor_dedup_threshold(rel, batch, batch_labels,
+                                             cand_valid, cand_dist, self.rho)
+                       if train else None)
+                h_num, h_cnt = hub_choose_sum(
+                    rel, batch, is_hub, xs, f, center_s0,
+                    s0_col=s0_col, w0=w0, b0=b0,
+                    tp_col=tp_col if train else None, minor_thresh=thr)
+                num = jnp.where(is_hub[:, None], h_num, num)
+                cnt = jnp.where(is_hub, h_cnt, cnt)
             if train:
                 keep_minor = oversample_keep(
                     rel, batch, batch_labels, cand_valid, self.rho)
+                # hub rows' window keep is empty, so this exact dedup is a
+                # no-op for them — their duplicates are subtracted inside
+                # the hub lane by distance instead
                 keep_minor = dedup_minor_keep(nbr, keep, n, cand_ids,
                                               keep_minor)
-                agg = window_mean_from_gathered(xw[..., :f], keep,
-                                                cand_xw, keep_minor)
-            else:
-                agg = window_mean_from_gathered(xw[..., :f], keep)
+                m_num, m_cnt = minor_sum(xs, cand_ids, keep_minor, f)
+                num, cnt = num + m_num, cnt + m_cnt
+            agg = num / jnp.maximum(cnt, 1.0)[:, None]
             cat = jnp.concatenate([self_feats, agg], axis=1)    # [B, 2F]
             h = jax.nn.relu(jnp.dot(cat, params["intra"][r]["w"],
                                     preferred_element_type=jnp.float32))

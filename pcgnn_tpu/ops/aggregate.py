@@ -43,8 +43,15 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def batch_neighbor_window(rel: RelGraph, batch: jax.Array):
+def batch_neighbor_window(rel: RelGraph, batch: jax.Array,
+                          *, allow_capped: bool = False):
     """Gather the CSR neighbor window for a batch of rows.
+
+    The window is ``[B, rel.window_width]``.  On a capped relation
+    (``rel.has_hubs``) rows with deg > dcap only expose their first dcap
+    neighbors here; such relations are rejected unless the caller is
+    hub-aware (``allow_capped=True``) and routes those rows through
+    ``ops.hub`` — otherwise a truncated window would silently drop edges.
 
     Args:
       rel: relation graph.
@@ -53,7 +60,8 @@ def batch_neighbor_window(rel: RelGraph, batch: jax.Array):
 
     Returns:
       nbr:   [B, D] int32 neighbor ids, padding slots = ``rel.num_nodes``.
-      valid: [B, D] bool, True where the slot holds a real neighbor.
+      valid: [B, D] bool, True where the slot holds a real neighbor
+        (clamped to the cap: hub rows get exactly dcap valid slots).
     """
     if rel.is_stub:
         raise ValueError(
@@ -61,8 +69,16 @@ def batch_neighbor_window(rel: RelGraph, batch: jax.Array):
             "(graph.csr.degree_stub): its edge list is empty, so window "
             "aggregation would silently average zero phantom neighbors. "
             "Stubs may only feed degree consumers (the pick sampler).")
-    d = max(rel.dmax, 1)
-    degs = rel.deg[batch]                            # [B]
+    if rel.has_hubs and not allow_capped:
+        raise ValueError(
+            f"batch_neighbor_window on a window-capped relation "
+            f"(dcap={rel.window_width} < dmax={rel.dmax}) from a caller "
+            f"that is not hub-aware: rows above the cap would silently "
+            f"lose neighbors. Route hub rows through ops.hub (pass "
+            f"allow_capped=True once handled), or rebuild the graph with "
+            f"window_cap=None disabled (csr_from_edges(window_cap=dmax)).")
+    d = max(rel.window_width, 1)
+    degs = jnp.minimum(rel.deg[batch], d)            # [B]
     offs = jax.lax.broadcasted_iota(jnp.int32, (batch.shape[0], d), 1)
     valid = offs < degs[:, None]
     if rel.nbr2d is not None:
@@ -177,11 +193,14 @@ def oversample_candidates_dense_values(
     neg_top, order = jax.lax.top_k(-d, k)                   # [B, k]
     cand_ids = train_pos[order]
     cand_valid = train_pos_valid[order] & jnp.isfinite(neg_top)
+    cand_dist = -neg_top
     if k < m_max:  # fewer candidates than the static bound: pad invalid
         padw = m_max - k
         cand_ids = jnp.pad(cand_ids, ((0, 0), (0, padw)))
         cand_valid = jnp.pad(cand_valid, ((0, 0), (0, padw)))
-    return cand_ids, cand_valid
+        cand_dist = jnp.pad(cand_dist, ((0, 0), (0, padw)),
+                            constant_values=_INF)
+    return cand_ids, cand_valid, cand_dist
 
 
 def oversample_candidates(
@@ -234,6 +253,9 @@ def oversample_candidates_values(
     Returns:
       cand_ids:   [B, m_max] int32 nearest train_pos ids, ascending distance.
       cand_valid: [B, m_max] bool (False where padding entries sorted in).
+      cand_dist:  [B, m_max] f32 the (exact) candidate distances, ascending;
+        +inf at invalid slots.  Row m-1 is the dedup threshold the hub lane
+        uses to spot kept neighbors that are also selected minors.
     """
     p = int(train_pos.shape[0])
     if 2 * m_max >= p:
@@ -281,7 +303,7 @@ def oversample_candidates_values(
     slots_out = slots_out[:, :m_max]
     cand_valid = jnp.isfinite(d_sorted)
     cand_ids = train_pos[jnp.where(cand_valid, slots_out, 0)]
-    return cand_ids, cand_valid
+    return cand_ids, cand_valid, d_sorted
 
 
 def oversample_keep(
@@ -350,13 +372,34 @@ def dedup_minor_keep(nbr: jax.Array, keep: jax.Array, sentinel: int,
     The reference accumulates selected neighbors and oversampled minors into
     one Python *set* (``src/layers.py:694``), so duplicates collapse.  The
     gather-based aggregation path sums both groups, which would double-count;
-    this exact correction removes the overlap with one broadcast equality
+    this exact correction removes the overlap with a broadcast equality
     over the compact window: [B, M, D] compares, fully VPU-vectorized (a
-    vmapped searchsorted lowered to a 50x slower scan loop on TPU).
+    vmapped searchsorted lowered to a 50x slower scan loop on TPU).  Wide
+    candidate windows (skew graphs: M grows with ceil(thr·dmax)·rho) run
+    the compare in ``MINOR_CHUNK`` blocks so the bool intermediate stays
+    O(B·chunk·D); selection is non-differentiable, so the block loop needs
+    no VJP.
     """
     kept_ids = jnp.where(keep, nbr, sentinel)                     # [B, D]
-    dup = jnp.any(cand_ids[:, :, None] == kept_ids[:, None, :], axis=2)
-    return keep_minor & ~dup
+    b, m = cand_ids.shape
+    if m <= MINOR_CHUNK:
+        dup = jnp.any(cand_ids[:, :, None] == kept_ids[:, None, :], axis=2)
+        return keep_minor & ~dup
+    c = MINOR_CHUNK
+    nblk = -(-m // c)
+    ids = jax.lax.stop_gradient(cand_ids)
+    if nblk * c != m:
+        ids = jnp.pad(ids, ((0, 0), (0, nblk * c - m)),
+                      constant_values=sentinel)
+    kept_ids = jax.lax.stop_gradient(kept_ids)
+
+    def body(j, out):
+        idb = jax.lax.dynamic_slice(ids, (0, j * c), (b, c))
+        dup = jnp.any(idb[:, :, None] == kept_ids[:, None, :], axis=2)
+        return jax.lax.dynamic_update_slice(out, dup, (0, j * c))
+
+    dup = jax.lax.fori_loop(0, nblk, body, jnp.zeros((b, nblk * c), bool))
+    return keep_minor & ~dup[:, :m]
 
 
 def union_self_window(nbr: jax.Array, valid: jax.Array, batch: jax.Array):
@@ -443,6 +486,81 @@ def window_mean_from_gathered(
     else:
         raise ValueError(f"unknown norm {norm!r}")
     return num / denom[:, None]
+
+
+def window_sum_from_gathered(xw: jax.Array, keep: jax.Array):
+    """Unnormalized form of ``window_mean_from_gathered``:
+    returns (num [B, F], cnt [B]) so callers can merge several lanes
+    (window / hub / minors) before the final mean division."""
+    kf = keep.astype(xw.dtype)
+    num = jnp.einsum("bd,bdf->bf", kf, xw)
+    return num, jnp.sum(kf, axis=1)
+
+
+# per-row minor-candidate gathers above this width run blockwise so the
+# [B, M, F] buffer never materializes (hub fraud centers request
+# int(ceil(thr*deg)*rho) minors, src/layers.py:681 — O(deg) by design)
+MINOR_CHUNK = 128
+
+
+def minor_sum(xs_padded: jax.Array, cand_ids: jax.Array,
+              keep_minor: jax.Array, f: int):
+    """(num [B, f], cnt [B]) of selected oversampled minors.
+
+    ``xs_padded`` is the [N+1, FC] padded feature(+extra columns) table;
+    only the first ``f`` columns aggregate.  Wide candidate windows are
+    processed in ``MINOR_CHUNK`` blocks: memory stays O(B·chunk·f)
+    instead of O(B·M·f).  Selection is non-differentiable and the feature
+    table frozen, so the block loop needs no VJP (see module docstring).
+    """
+    b, m = cand_ids.shape
+    if m <= MINOR_CHUNK:
+        km = keep_minor.astype(xs_padded.dtype)
+        num = jnp.einsum("bm,bmf->bf", km, xs_padded[cand_ids][..., :f])
+        return num, jnp.sum(km, axis=1)
+    ids = jax.lax.stop_gradient(cand_ids)
+    km_all = jax.lax.stop_gradient(keep_minor)
+    c = MINOR_CHUNK
+    nblk = -(-m // c)
+    if nblk * c != m:  # pad to a whole number of blocks (invalid slots)
+        ids = jnp.pad(ids, ((0, 0), (0, nblk * c - m)))
+        km_all = jnp.pad(km_all, ((0, 0), (0, nblk * c - m)))
+
+    def body(j, acc):
+        num, cnt = acc
+        idb = jax.lax.dynamic_slice(ids, (0, j * c), (b, c))
+        kmb = jax.lax.dynamic_slice(km_all, (0, j * c), (b, c))
+        km = kmb.astype(xs_padded.dtype)
+        num = num + jnp.einsum("bm,bmf->bf", km, xs_padded[idb][..., :f])
+        return num, cnt + jnp.sum(km, axis=1)
+
+    return jax.lax.fori_loop(
+        0, nblk, body,
+        (jnp.zeros((b, f), xs_padded.dtype), jnp.zeros((b,), xs_padded.dtype)))
+
+
+def minor_dedup_threshold(rel: RelGraph, batch: jax.Array,
+                          batch_labels: jax.Array, cand_valid: jax.Array,
+                          cand_dist: jax.Array, rho: float) -> jax.Array:
+    """[B] distance threshold for the hub lane's duplicate detection.
+
+    A kept hub neighbor c duplicates a selected minor iff c is a valid
+    train positive and its choose distance places it within the row's
+    m = int(ksample·rho) nearest candidates.  Because the candidate list
+    is distance-sorted, that reduces to d(c) <= cand_dist[b, m-1] — with
+    -inf when the row selects no minors (not fraud / m == 0) and +inf
+    when every valid candidate is selected (m >= #valid).  Ties at the
+    threshold resolve inclusively (the tie-robust parity target:
+    SURVEY.md §7 "hard parts").
+    """
+    m = jnp.floor(rel.ksample[batch].astype(jnp.float32) * rho).astype(jnp.int32)
+    n_valid = jnp.sum(cand_valid.astype(jnp.int32), axis=1)
+    m_max = cand_dist.shape[1]
+    at_m = jnp.take_along_axis(
+        cand_dist, jnp.clip(m - 1, 0, m_max - 1)[:, None], axis=1)[:, 0]
+    thresh = jnp.where(m >= n_valid, _INF, at_m)
+    active = (batch_labels == 1) & (m > 0)
+    return jnp.where(active, thresh, -_INF)
 
 
 def segment_mean_spmm(rel: RelGraph, features: jax.Array,

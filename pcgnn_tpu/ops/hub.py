@@ -1,0 +1,241 @@
+"""Blockwise hub-row aggregation lane.
+
+The window lane (``ops.aggregate``) materializes a ``[B, dcap, F]`` gather
+per relation.  On heavy-tailed graphs — the reference's YelpChi RSR relation
+links entire same-star-same-month cliques (``src/utils.py:72-91``), giving a
+global max degree orders of magnitude above the mean — sizing that window by
+``dmax`` is exactly the reference's dense ``[B, U]`` blow-up
+(``src/layers.py:594-608``) renamed.  Here rows with deg > dcap ("hubs") are
+compacted to the front of the batch and processed in fixed chunks, each
+chunk sweeping its CSR edge tail in fixed-width blocks, so per-step memory
+is O(chunk·block·F) and compute is proportional to the *touched* hub edges
+(dynamic trip counts), not B × dmax.
+
+Choose semantics are unchanged: per row keep the ``keff`` nearest neighbors
+by the label-aware score distance (``src/layers.py:655-672``), with the
+keep-all-when-small rule folded into ``keff`` at graph build time.  The two
+sweeps per chunk are
+
+  pass 1: gather neighbor score rows blockwise -> full [chunk, dmax_pad]
+          distance buffer -> exact per-row rank threshold (one sort).
+  pass 2: gather feature rows blockwise, accumulate the kept mean, and
+          subtract neighbors that duplicate selected oversampled minors
+          (the reference collapses both groups into one Python set,
+          ``src/layers.py:694``): a kept neighbor c duplicates iff c is a
+          valid train positive and d(c) <= the row's minor-selection
+          threshold (``ops.aggregate.minor_dedup_threshold``).
+
+Everything here is selection + frozen-feature aggregation — the reference
+freezes the feature table (``model_handler.py:86``) and gradients reach
+``label_clf`` only through the similarity loss (``src/model.py:54-61``) —
+so all inputs are stop-gradiented and the dynamic-trip-count loops
+(``lax.while_loop`` / traced-bound ``fori_loop``) never need a transpose.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from pcgnn_tpu.graph.csr import RelGraph
+from pcgnn_tpu.ops.aggregate import _INF, keep_nearest
+
+# chunk: hub rows processed per while-loop iteration.
+# block: CSR edge-tail slots swept per inner iteration (multiple of 128).
+HUB_CHUNK = 128
+HUB_BLOCK = 512
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _window_block(rel: RelGraph, starts: jax.Array, j: jax.Array,
+                  block: int) -> jax.Array:
+    """[H, block] neighbor ids from each row's CSR tail at offset j·block.
+
+    Rows are contiguous CSR runs, so the Pallas ragged gather turns this
+    into per-row DMAs; ``graph.csr._finalize`` pads the edge array so any
+    start <= num_edges + dmax stays in bounds.
+    """
+    starts_j = starts + j * block
+    from pcgnn_tpu.ops.pallas import ragged_gather
+    if ragged_gather.available():
+        return ragged_gather.ragged_window_gather(rel.col, starts_j, block)
+    offs = jax.lax.broadcasted_iota(jnp.int32, (starts.shape[0], block), 1)
+    pos = jnp.clip(starts_j[:, None] + offs, 0, rel.col.shape[0] - 1)
+    return rel.col[pos]
+
+
+def _run_hub_chunks(is_hub: jax.Array, chunk: int, f: int, dtype,
+                    chunk_fn):
+    """Compact hub rows to the front, run ``chunk_fn`` per chunk of
+    ``chunk`` rows (dynamic trip count = ceil(n_hub/chunk)), and
+    un-permute the per-row (num, cnt) results back to batch order.
+
+    ``chunk_fn(rows_slot [chunk], active [chunk]) -> (num, cnt)`` where
+    ``rows_slot`` are *batch positions*.  Non-hub rows return zeros.
+    """
+    b = is_hub.shape[0]
+    order = jnp.argsort(~is_hub, stable=True).astype(jnp.int32)
+    n_h = jnp.sum(is_hub.astype(jnp.int32))
+    bp = _round_up(b, chunk)
+    order_p = jnp.pad(order, (0, bp - b))
+    state0 = (jnp.int32(0), jnp.zeros((bp, f), dtype), jnp.zeros((bp,), dtype))
+
+    def body(state):
+        c, num_buf, cnt_buf = state
+        rows_slot = jax.lax.dynamic_slice(order_p, (c * chunk,), (chunk,))
+        active = (c * chunk + jnp.arange(chunk, dtype=jnp.int32)) < n_h
+        num_c, cnt_c = chunk_fn(rows_slot, active)
+        num_c = jnp.where(active[:, None], num_c, 0.0)
+        cnt_c = jnp.where(active, cnt_c, 0.0)
+        num_buf = jax.lax.dynamic_update_slice(num_buf, num_c, (c * chunk, 0))
+        cnt_buf = jax.lax.dynamic_update_slice(cnt_buf, cnt_c, (c * chunk,))
+        return c + 1, num_buf, cnt_buf
+
+    _, num_buf, cnt_buf = jax.lax.while_loop(
+        lambda s: s[0] * chunk < n_h, body, state0)
+    inv = jnp.argsort(order).astype(jnp.int32)   # position of row b in order
+    return num_buf[inv], cnt_buf[inv]
+
+
+def hub_choose_sum(
+    rel: RelGraph,
+    batch: jax.Array,
+    is_hub: jax.Array,
+    xs: jax.Array,
+    f: int,
+    center_s0: jax.Array,
+    *,
+    s0_col: Optional[int] = None,
+    w0: Optional[jax.Array] = None,
+    b0: Optional[jax.Array] = None,
+    tp_col: Optional[int] = None,
+    minor_thresh: Optional[jax.Array] = None,
+    chunk: int = HUB_CHUNK,
+    block: int = HUB_BLOCK,
+):
+    """Choose + sum over hub rows' full neighbor lists, blockwise.
+
+    Args:
+      rel: capped relation (``rel.has_hubs``).
+      batch: [B] node ids.
+      is_hub: [B] bool, deg[batch] > rel.window_width.
+      xs: [N+1, FC] padded feature table (+score/train-pos columns).
+      f: number of leading feature columns to aggregate.
+      center_s0: [B] label-aware score channel 0 of the centers.
+      s0_col: column of ``xs`` holding each node's score (table path);
+        None computes it as ``xs[..., :f] @ w0 + b0`` (window path) — the
+        same contraction the window lane uses, so distances match exactly.
+      tp_col: column of ``xs`` holding the valid-train-positive indicator
+        (train only); with ``minor_thresh`` ([B], from
+        ``minor_dedup_threshold``) enables duplicate-minor subtraction.
+      chunk/block: memory-shape knobs (see module docstring).
+
+    Returns (num [B, f], cnt [B]); zeros at non-hub rows.
+    """
+    sg = jax.lax.stop_gradient
+    xs = sg(xs)
+    center_s0 = sg(center_s0)
+    w0 = sg(w0) if w0 is not None else None
+    b0 = sg(b0) if b0 is not None else None
+    minor_thresh = sg(minor_thresh) if minor_thresh is not None else None
+    dh = _round_up(max(rel.dmax, 1), block)
+
+    def chunk_fn(rows_slot, active):
+        rows = batch[rows_slot]
+        start = rel.indptr[rows]
+        deg = jnp.where(active, rel.deg[rows], 0)
+        kf_rows = rel.keff[rows]
+        c_s0 = center_s0[rows_slot]
+        thr = minor_thresh[rows_slot] if minor_thresh is not None else None
+        jb = (jnp.max(deg) + block - 1) // block     # dynamic trip count
+
+        def pass1(j, dist):
+            nbr = _window_block(rel, start, j, block)
+            offs = j * block + jnp.arange(block, dtype=jnp.int32)[None, :]
+            v = offs < deg[:, None]
+            xw = xs[nbr]
+            if s0_col is not None:
+                s0n = xw[..., s0_col]
+            else:
+                s0n = jnp.dot(xw[..., :f], w0, precision="highest",
+                              preferred_element_type=jnp.float32) + b0
+            d = jnp.where(v, jnp.abs(c_s0[:, None] - s0n), _INF)
+            return jax.lax.dynamic_update_slice(dist, d, (0, j * block))
+
+        dist = jax.lax.fori_loop(
+            0, jb, pass1, jnp.full((chunk, dh), _INF, jnp.float32))
+        keep = keep_nearest(dist, kf_rows, jnp.isfinite(dist))
+
+        def pass2(j, acc):
+            num, cnt = acc
+            nbr = _window_block(rel, start, j, block)
+            xw = xs[nbr]
+            kb = jax.lax.dynamic_slice(keep, (0, j * block), (chunk, block))
+            w = kb.astype(xs.dtype)
+            if tp_col is not None:
+                db = jax.lax.dynamic_slice(dist, (0, j * block),
+                                           (chunk, block))
+                dup = kb & (xw[..., tp_col] > 0.5) & (db <= thr[:, None])
+                w = w - dup.astype(xs.dtype)
+            num = num + jnp.einsum("hw,hwf->hf", w, xw[..., :f])
+            return num, cnt + jnp.sum(w, axis=1)
+
+        return jax.lax.fori_loop(
+            0, jb, pass2, (jnp.zeros((chunk, f), xs.dtype),
+                           jnp.zeros((chunk,), xs.dtype)))
+
+    return _run_hub_chunks(is_hub, chunk, f, xs.dtype, chunk_fn)
+
+
+def hub_mean_sum(
+    rel: RelGraph,
+    batch: jax.Array,
+    is_hub: jax.Array,
+    x_padded: jax.Array,
+    *,
+    include_self: bool = True,
+    chunk: int = HUB_CHUNK,
+    block: int = HUB_BLOCK,
+):
+    """All-neighbor sum over hub rows, blockwise — the no-choose lane for
+    the GraphSAGE/GCN baselines (``src/graphsage.py:78-96,210-226``).
+
+    ``include_self`` reproduces ``union_self_window``'s conditional self
+    union: the self feature joins only when the row's CSR lacks the
+    self-loop.  Returns (num [B, F], cnt [B]); zeros at non-hub rows.
+    """
+    x_padded = jax.lax.stop_gradient(x_padded)
+    f = x_padded.shape[1]
+
+    def chunk_fn(rows_slot, active):
+        rows = batch[rows_slot]
+        start = rel.indptr[rows]
+        deg = jnp.where(active, rel.deg[rows], 0)
+        jb = (jnp.max(deg) + block - 1) // block
+
+        def body(j, acc):
+            num, cnt, has_self = acc
+            nbr = _window_block(rel, start, j, block)
+            offs = j * block + jnp.arange(block, dtype=jnp.int32)[None, :]
+            v = offs < deg[:, None]
+            w = v.astype(x_padded.dtype)
+            num = num + jnp.einsum("hw,hwf->hf", w, x_padded[nbr])
+            has_self = has_self | jnp.any(v & (nbr == rows[:, None]), axis=1)
+            return num, cnt + jnp.sum(w, axis=1), has_self
+
+        num, cnt, has_self = jax.lax.fori_loop(
+            0, jb, body, (jnp.zeros((chunk, f), x_padded.dtype),
+                          jnp.zeros((chunk,), x_padded.dtype),
+                          jnp.zeros((chunk,), bool)))
+        if include_self:
+            miss = (~has_self).astype(x_padded.dtype)
+            num = num + miss[:, None] * x_padded[rows]
+            cnt = cnt + miss
+        return num, cnt
+
+    return _run_hub_chunks(is_hub, chunk, f, x_padded.dtype, chunk_fn)

@@ -99,7 +99,7 @@ def ragged_window_gather(col: jax.Array, starts: jax.Array, d_pad: int,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b_pad // _ROWS,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((_ROWS, dp_rows, _L), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -127,14 +127,19 @@ def available() -> bool:
     global _SUPPORTED
     if _SUPPORTED is None:
         try:
-            col = jnp.arange(8192, dtype=jnp.int32)
-            starts = jnp.asarray([0, 17, 100, 1500, 3, 255, 129, 2000],
-                                 jnp.int32)
-            out = ragged_window_gather(col, starts, 128)
-            want = jnp.stack([jnp.arange(s, s + 128) for s in
-                              [0, 17, 100, 1500, 3, 255, 129, 2000]])
-            _SUPPORTED = bool(
-                (jax.device_get(out) == jax.device_get(want)).all())
+            # the first call may come from inside a jit trace (the kernel is
+            # used under lax loops); ensure_compile_time_eval keeps the probe
+            # EAGER — otherwise the probe pallas_call would be staged into
+            # the caller's computation and fail at lowering on CPU.
+            with jax.ensure_compile_time_eval():
+                col = jnp.arange(8192, dtype=jnp.int32)
+                starts = jnp.asarray([0, 17, 100, 1500, 3, 255, 129, 2000],
+                                     jnp.int32)
+                out = ragged_window_gather(col, starts, 128)
+                want = jnp.stack([jnp.arange(s, s + 128) for s in
+                                  [0, 17, 100, 1500, 3, 255, 129, 2000]])
+                _SUPPORTED = bool(
+                    (jax.device_get(out) == jax.device_get(want)).all())
         except Exception:
             _SUPPORTED = False
     return _SUPPORTED

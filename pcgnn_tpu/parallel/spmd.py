@@ -105,7 +105,7 @@ def spmd_loss_fn(model: PCGNN, graph: MultiRelGraph, mesh: Mesh, n_pad: int):
         m_max = max(1, min(
             int(train_pos.shape[0]),
             int(max(rel.ksample_max for rel in graph.relations) * model.rho)))
-        cand_ids, cand_valid = oversample_candidates(
+        cand_ids, cand_valid, _ = oversample_candidates(
             batch, s0_padded, train_pos, train_pos_valid, m_max)
 
         rel_embs = []

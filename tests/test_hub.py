@@ -1,0 +1,286 @@
+"""Hub-safe aggregation: window cap + blockwise hub lane (ops.hub).
+
+The reference's real datasets are clique-heavy (YelpChi RSR links all
+same-star-same-month reviews, ``src/utils.py:72-91``); these tests pin the
+framework's answer to that degree skew: per-step memory scales with touched
+edges (window capped at ~p99.5 degree, hub tails swept blockwise) while the
+choose/oversample/dedup semantics stay exactly the reference's.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pcgnn_tpu.data.synthetic import synthetic_fraud_graph
+from pcgnn_tpu.graph.csr import build_multirel, csr_from_edges
+from pcgnn_tpu.models import build_model
+from tests.oracle import pcgnn_forward_oracle
+
+
+def _skew_setup(seed=3):
+    g = synthetic_fraud_graph("skew-tiny", seed=seed)
+    model = build_model("PCGNN", feat_dim=g.feat_dim, emb_dim=16,
+                        num_relations=3, alpha=2.0, rho=0.5)
+    params = model.init(jax.random.key(7))
+    return g, model, params
+
+
+def test_skew_preset_caps_hub_relation():
+    g, _, _ = _skew_setup()
+    rel = g.relations[0]
+    deg = np.asarray(rel.deg)
+    assert rel.dmax >= 50 * deg.mean()         # VERDICT #1 skew requirement
+    assert rel.has_hubs and rel.dcap < rel.dmax
+    assert (deg > rel.dcap).sum() >= 3         # several hub rows exist
+    # near-uniform relations stay single-lane (identical legacy layout)
+    assert not g.relations[1].has_hubs
+    assert not g.relations[2].has_hubs
+
+
+@pytest.mark.parametrize("train", [True, False])
+def test_hub_forward_parity_vs_oracle(train):
+    g, model, params = _skew_setup()
+    labels = np.asarray(g.labels)
+    rng = np.random.default_rng(5)
+    train_pos = np.sort(rng.choice(np.flatnonzero(labels == 1), 60,
+                                   replace=False))
+    # put every hub row in the batch alongside random rows
+    hubs = np.argsort(-np.asarray(g.relations[0].deg))[:6]
+    batch = np.concatenate([hubs, rng.integers(0, g.num_nodes, 42)]).astype(
+        np.int32)
+    tp = jnp.asarray(train_pos, jnp.int32)
+    tpv = jnp.ones(len(train_pos), bool)
+    y = jnp.asarray(labels[batch])
+    logits, center = model.forward(
+        params, g, jnp.asarray(batch), y if train else None, train=train,
+        train_pos=tp, train_pos_valid=tpv)
+    o_logits, o_center = pcgnn_forward_oracle(
+        jax.tree.map(np.asarray, params), np.asarray(g.features),
+        list(g.relations), batch, labels[batch],
+        train_pos if train else [], rho=0.5, train=train)
+    np.testing.assert_allclose(np.asarray(center), o_center, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(logits), o_logits, atol=1e-4)
+
+
+def test_fraud_hub_minor_dedup_parity():
+    """A fraud-labeled hub whose kept neighbors overlap its selected
+    oversampled minors: the hub lane must subtract the duplicates exactly
+    as the reference's set union collapses them (``src/layers.py:694``)."""
+    n, f = 400, 12
+    rng = np.random.default_rng(11)
+    # node 0: a 300-neighbor hub; background ring keeps other degrees tiny
+    hub_dst = np.arange(1, 301)
+    src = np.concatenate([np.zeros(300, np.int64), np.arange(n)])
+    dst = np.concatenate([hub_dst, (np.arange(n) + 1) % n])
+    rel = csr_from_edges(src, dst, n, window_cap=64)
+    assert rel.has_hubs
+    labels = (rng.random(n) < 0.3).astype(np.int64)
+    labels[0] = 1                       # the hub is a fraud center
+    feats = rng.normal(size=(n, f)).astype(np.float32)
+    graph = build_multirel([rel], rel, feats, labels)
+    # train positives drawn heavily from the hub's own neighborhood so the
+    # nearest minors and the kept neighbors overlap
+    nb_fraud = hub_dst[labels[hub_dst] == 1]
+    others = np.setdiff1d(np.flatnonzero(labels == 1), np.concatenate(
+        [[0], nb_fraud]))
+    train_pos = np.sort(np.concatenate([nb_fraud[:50], others[:10]]))
+    model = build_model("PCGNN", feat_dim=f, emb_dim=8, num_relations=1,
+                        alpha=2.0, rho=0.5)
+    params = model.init(jax.random.key(3))
+    batch = np.concatenate([[0], rng.integers(0, n, 15)]).astype(np.int32)
+    tp = jnp.asarray(train_pos, jnp.int32)
+    tpv = jnp.ones(len(train_pos), bool)
+    logits, _ = model.forward(
+        params, graph, jnp.asarray(batch), jnp.asarray(labels[batch]),
+        train=True, train_pos=tp, train_pos_valid=tpv)
+    o_logits, _ = pcgnn_forward_oracle(
+        jax.tree.map(np.asarray, params), feats, [rel], batch, labels[batch],
+        train_pos, rho=0.5, train=True)
+    np.testing.assert_allclose(np.asarray(logits), o_logits, atol=1e-4)
+    # prove the duplicate path is actually exercised: recompute the hub
+    # row's kept set and minors oracle-side and require an overlap
+    import math
+    clf = jax.tree.map(np.asarray, params)["label_clf"]
+    s0 = (feats @ clf["w"] + clf["b"])[:, 0]
+    neighs = np.asarray(rel.col)[
+        np.asarray(rel.indptr)[0]:np.asarray(rel.indptr)[1]]
+    ns = math.ceil(0.5 * len(neighs))
+    order = np.argsort(np.abs(s0[0] - s0[neighs]), kind="stable")
+    kept = {int(neighs[j]) for j in order[:ns]}
+    op = np.argsort(np.abs(s0[0] - s0[train_pos]), kind="stable")
+    minors = {int(train_pos[j]) for j in op[:int(ns * 0.5)]}
+    assert len(kept & minors) > 0, "test setup failed to create duplicates"
+
+
+def test_capped_equals_uncapped_random_powerlaw():
+    """Capping is an execution strategy, not a semantics change: the same
+    graph built capped vs uncapped must produce the same forward (up to
+    f32 summation-order noise)."""
+    rng = np.random.default_rng(4)
+    n, f = 600, 10
+    for trial in range(3):
+        # Zipf-ish degrees: a few large rows, heavy small-row tail
+        deg_target = np.minimum((rng.zipf(1.6, n) * 3), 400)
+        src = np.repeat(np.arange(n), deg_target)
+        dst = rng.integers(0, n, size=len(src))
+        labels = (rng.random(n) < 0.25).astype(np.int64)
+        feats = rng.normal(size=(n, f)).astype(np.float32)
+        capped = csr_from_edges(src, dst, n, window_cap=128)
+        uncapped = csr_from_edges(src, dst, n, window_cap=10 ** 9)
+        assert capped.has_hubs and not uncapped.has_hubs
+        g_c = build_multirel([capped], capped, feats, labels)
+        g_u = build_multirel([uncapped], uncapped, feats, labels)
+        model = build_model("PCGNN", feat_dim=f, emb_dim=8, num_relations=1,
+                            alpha=2.0, rho=0.5)
+        params = model.init(jax.random.key(trial))
+        train_pos = np.flatnonzero(labels == 1)[:64]
+        tp = jnp.asarray(train_pos, jnp.int32)
+        tpv = jnp.ones(len(train_pos), bool)
+        batch = np.concatenate([np.argsort(-np.asarray(capped.deg))[:8],
+                                rng.integers(0, n, 24)]).astype(np.int32)
+        y = jnp.asarray(labels[batch])
+        out_c = model.forward(params, g_c, jnp.asarray(batch), y, train=True,
+                              train_pos=tp, train_pos_valid=tpv)
+        out_u = model.forward(params, g_u, jnp.asarray(batch), y, train=True,
+                              train_pos=tp, train_pos_valid=tpv)
+        np.testing.assert_allclose(np.asarray(out_c[0]), np.asarray(out_u[0]),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_gcn_sage_hub_mean_matches_uncapped():
+    rng = np.random.default_rng(9)
+    n, f = 500, 8
+    src = np.concatenate([np.zeros(350, np.int64), rng.integers(0, n, 800)])
+    dst = np.concatenate([rng.integers(0, n, 350), rng.integers(0, n, 800)])
+    labels = (rng.random(n) < 0.2).astype(np.int64)
+    feats = rng.normal(size=(n, f)).astype(np.float32)
+    capped = csr_from_edges(src, dst, n, window_cap=64)
+    uncapped = csr_from_edges(src, dst, n, window_cap=10 ** 9)
+    assert capped.has_hubs
+    batch = np.concatenate([[0], rng.integers(0, n, 31)]).astype(np.int32)
+    for name in ("GCN", "SAGE"):
+        model = build_model(name, feat_dim=f, emb_dim=8)
+        params = model.init(jax.random.key(1))
+        outs = []
+        for rel in (capped, uncapped):
+            g = build_multirel([], rel, feats, labels)
+            logits, _ = model.forward(params, g, jnp.asarray(batch),
+                                      train=False)
+            outs.append(np.asarray(logits))
+        np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-6,
+                                   err_msg=name)
+
+
+def test_capped_guards():
+    """Hub-unaware consumers must refuse truncated windows instead of
+    silently dropping edges (the advisor's stub-trap pattern)."""
+    from pcgnn_tpu.ops.aggregate import batch_neighbor_window
+
+    rng = np.random.default_rng(2)
+    n = 300
+    src = np.concatenate([np.zeros(200, np.int64), rng.integers(0, n, 300)])
+    dst = np.concatenate([rng.integers(0, n, 200), rng.integers(0, n, 300)])
+    rel = csr_from_edges(src, dst, n, window_cap=32)
+    assert rel.has_hubs
+    with pytest.raises(ValueError, match="window-capped"):
+        batch_neighbor_window(rel, jnp.arange(8, dtype=jnp.int32))
+    # SAGE's uniform subsampling needs the full neighbor list
+    feats = np.zeros((n, 4), np.float32)
+    g = build_multirel([], rel, feats, np.zeros(n, np.int64))
+    model = build_model("SAGE", feat_dim=4, emb_dim=4, num_sample=10)
+    params = model.init(jax.random.key(0))
+    with pytest.raises(ValueError, match="num_sample"):
+        model.forward(params, g, jnp.arange(8, dtype=jnp.int32), train=False)
+
+
+def test_hub_step_memory_scales_with_cap_not_dmax():
+    """VERDICT #1 'done' criterion: a skew graph must train with step
+    memory near the uniform-window cost, not B x global-dmax.  Compares
+    XLA's compiled temp-buffer total for the same graph capped vs
+    uncapped."""
+    g, model, params = _skew_setup()
+    labels = np.asarray(g.labels)
+    train_pos = np.flatnonzero(labels == 1)[:128]
+    tp = jnp.asarray(train_pos, jnp.int32)
+    tpv = jnp.ones(len(train_pos), bool)
+    batch = jnp.asarray(np.arange(256), jnp.int32)
+    y = jnp.asarray(labels[:256], jnp.int32)
+
+    def temp_bytes(graph):
+        def loss(p):
+            return model.loss(p, graph, batch, y, train_pos=tp,
+                              train_pos_valid=tpv)
+        compiled = jax.jit(jax.grad(loss)).lower(params).compile()
+        mem = compiled.memory_analysis()
+        if mem is None:
+            pytest.skip("backend lacks memory_analysis")
+        return mem.temp_size_in_bytes
+
+    capped = temp_bytes(g)
+    # rebuild relation 0 uncapped (same edges) for the blow-up baseline
+    rel0 = g.relations[0]
+    indptr = np.asarray(rel0.indptr)
+    col = np.asarray(rel0.col)[:rel0.num_edges]
+    src = np.repeat(np.arange(rel0.num_nodes), np.diff(indptr))
+    from pcgnn_tpu.graph.csr import MultiRelGraph
+    un0 = csr_from_edges(src, col, rel0.num_nodes, window_cap=10 ** 9,
+                         add_self_loops=False, symmetrize=False)
+    g_un = MultiRelGraph(relations=(un0,) + g.relations[1:], homo=g.homo,
+                         features=g.features, labels=g.labels)
+    uncapped = temp_bytes(g_un)
+    # the capped program must be far below the B x dmax blow-up even at toy
+    # scale, where the hub lane's fixed chunk x block buffers dominate
+    assert capped < 0.5 * uncapped, (capped, uncapped)
+
+
+def test_hub_step_memory_within_2x_of_uniform_preset_at_scale():
+    """VERDICT #1 'done' criterion at realistic scale: yelp-skew (dmax 50x+
+    the mean on the RSR-like relation) must compile a training step whose
+    temp memory is within 2x of the uniform yelp-like preset's."""
+
+    def temp_bytes(g, batchn=1024):
+        model = build_model("PCGNN", feat_dim=g.feat_dim, emb_dim=64,
+                            num_relations=3, alpha=2.0, rho=0.5)
+        params = model.init(jax.random.key(0))
+        labels = np.asarray(g.labels)
+        tp = jnp.asarray(np.flatnonzero(labels == 1)[:2000], jnp.int32)
+        tpv = jnp.ones(tp.shape[0], bool)
+        batch = jnp.asarray(np.arange(batchn), jnp.int32)
+        y = jnp.asarray(labels[:batchn], jnp.int32)
+
+        def loss(p):
+            return model.loss(p, g, batch, y, train_pos=tp,
+                              train_pos_valid=tpv)
+        mem = jax.jit(jax.grad(loss)).lower(params).compile(
+            ).memory_analysis()
+        if mem is None:
+            pytest.skip("backend lacks memory_analysis")
+        return mem.temp_size_in_bytes
+
+    g_skew = synthetic_fraud_graph("yelp-skew", seed=3)
+    rel = g_skew.relations[2]
+    assert rel.dmax >= 50 * np.asarray(rel.deg).mean()
+    assert rel.has_hubs
+    g_unif = synthetic_fraud_graph("yelp-like", seed=3)
+    skew, unif = temp_bytes(g_skew), temp_bytes(g_unif)
+    assert skew < 2.0 * unif, (skew, unif)
+
+
+def test_trainer_trains_on_skew_preset():
+    """End-to-end: the trainer runs (pick -> scan -> Adam -> eval) on the
+    hub preset and produces finite metrics."""
+    from pcgnn_tpu.train.trainer import Trainer
+
+    cfg = dict(seed=2, data_name="synthetic:skew-tiny", model="PCGNN",
+               train_ratio=0.4, test_ratio=0.67, emb_size=16, lr=0.01,
+               weight_decay=0.001, alpha=2.0, rho=0.5, epochs=4,
+               valid_epochs=2, batch_size=128, patience=100, exp_num=0)
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        cfg["result_root"] = d
+        from pcgnn_tpu.train.results import ResultManager
+        t = Trainer(cfg, result=ResultManager(cfg, root=d))
+        auc, recall, f1 = t.train()
+    assert np.isfinite([auc, recall, f1]).all()
+    assert 0.0 <= auc <= 1.0

@@ -212,10 +212,16 @@ def test_oversample_candidates_windowed_matches_dense_oracle():
         batch = rng.integers(0, n, size=b).astype(np.int32)
         args = (jnp.asarray(batch), jnp.asarray(s0), jnp.asarray(tp),
                 jnp.asarray(tpv), m)
-        a_ids, a_val = oversample_candidates(*args)
-        d_ids, d_val = oversample_candidates_dense(*args)
+        a_ids, a_val, a_d = oversample_candidates(*args)
+        d_ids, d_val, d_d = oversample_candidates_dense(*args)
         a_ids, a_val = np.asarray(a_ids), np.asarray(a_val)
         d_ids, d_val = np.asarray(d_ids), np.asarray(d_val)
+        # returned distances must match the recomputed |s0_c - s0_p| at the
+        # selected slots (both code paths)
+        for ids, val, dd in ((a_ids, a_val, np.asarray(a_d)),
+                             (d_ids, d_val, np.asarray(d_d))):
+            want = np.abs(s0[batch][:, None] - s0[ids])
+            assert np.allclose(np.where(val, dd, 0), np.where(val, want, 0))
         assert a_ids.shape == (b, m)
         assert (a_val == d_val).all()
         if tied:
