@@ -54,8 +54,11 @@ class Trainer:
         np.random.seed(cfg["seed"])
 
         if graph is None:
+            # "thresholds" (per-relation list, the reference's attribute
+            # src/layers.py:52,193) wins over the scalar "threshold"
+            thr = cfg.get("thresholds") or cfg.get("threshold", 0.5)
             graph = load_data(cfg["data_name"], cfg.get("data_prefix", "data/"),
-                              threshold=cfg.get("threshold", 0.5),
+                              threshold=thr,
                               graph_id=cfg.get("graph_id"), seed=cfg["seed"])
         labels = np.asarray(graph.labels)
 
@@ -93,8 +96,38 @@ class Trainer:
 
         self.tx = torch_adam(cfg["lr"], cfg["weight_decay"])
 
+        # SPMD: num_devices > 1 trains over a ('data', 'graph') mesh with
+        # the feature table AND the relation structure sharded over 'graph'
+        # (parallel.spmd); num_devices == 1 keeps the single-chip path.
+        self.num_devices = int(cfg.get("num_devices") or 1)
+        self.mesh = None
+        if self.num_devices > 1:
+            if model_name != "PCGNN":
+                raise NotImplementedError(
+                    "num_devices > 1 currently supports the PCGNN model "
+                    "only; train GraphSAGE/GCN baselines single-chip")
+            avail = jax.devices()
+            if self.num_devices > len(avail):
+                raise ValueError(
+                    f"num_devices={self.num_devices} but only {len(avail)} "
+                    f"devices are visible")
+            from pcgnn_tpu.parallel.mesh import factor_mesh, make_mesh
+            dg = cfg.get("mesh_graph")
+            if dg:
+                dd = self.num_devices // int(dg)
+            else:
+                dd, dg = factor_mesh(self.num_devices)
+            self.mesh = make_mesh(data=dd, graph=int(dg),
+                                  devices=avail[: self.num_devices])
+
         # static epoch plan
         b = int(cfg["batch_size"])
+        if self.mesh is not None:
+            dd = self.mesh.shape["data"]
+            if b % dd:  # batches shard over 'data'; padded slots weigh 0
+                b = ((b + dd - 1) // dd) * dd
+                print(f"Rounded batch_size up to {b} "
+                      f"(divisible by the data axis {dd})")
         if model_name == "PCGNN":
             sample_size = 2 * len(train_pos)              # model_handler.py:130
         else:
@@ -124,25 +157,47 @@ class Trainer:
         b, nb, s = self.batch_size, self.num_batches, self.sample_size
         padded = nb * b
         is_pcgnn = self.model_name == "PCGNN"
+        is_spmd = self.mesh is not None
 
         base_key = jax.random.key(self.config["seed"])
 
-        # The graph (features + per-relation CSR) and the training constants
-        # are passed as PYTREE ARGUMENTS, not closed over: a closed-over
-        # concrete array is baked into the compiled program as a literal,
-        # which (a) bloats the executable to graph size and (b) overflows
-        # compile-payload limits at stress scale (1e6+ nodes).  As arguments
-        # they stay device-resident buffers referenced by handle.
+        if is_spmd:
+            from pcgnn_tpu.parallel.spmd import (
+                pad_graph_for_mesh, shard_relations, spmd_loss_fn,
+                spmd_predict_fn)
+            x_sharded, n_pad = pad_graph_for_mesh(self.graph, self.mesh)
+            rel_shards = shard_relations(self.graph, self.mesh, n_pad)
+            spmd_loss = spmd_loss_fn(model, self.mesh, n_pad, rel_shards)
+            spmd_predict = spmd_predict_fn(model, self.mesh, n_pad,
+                                           rel_shards)
+
+        # The graph (features + per-relation structure) and the training
+        # constants are passed as PYTREE ARGUMENTS, not closed over: a
+        # closed-over concrete array is baked into the compiled program as a
+        # literal, which (a) bloats the executable to graph size and
+        # (b) overflows compile-payload limits at stress scale (1e6+ nodes).
+        # As arguments they stay device-resident buffers referenced by
+        # handle.  Under SPMD ``graph`` is (x_sharded, rel_shards, labels);
+        # the sharded step math lives in ``parallel.spmd``.
         def _epoch(params, opt_state, epoch_idx, graph, consts):
-            def loss_fn(params, batch, batch_labels, batch_weight, key):
-                if is_pcgnn:
+            if is_spmd:
+                xg, shards, labels_dev = graph
+
+                def loss_fn(params, batch, batch_labels, batch_weight, key):
+                    return spmd_loss(params, xg, shards, batch, batch_labels,
+                                     batch_weight, consts["tp"],
+                                     consts["tpv"])
+            else:
+                labels_dev = graph.labels
+
+                def loss_fn(params, batch, batch_labels, batch_weight, key):
+                    if is_pcgnn:
+                        return model.loss(params, graph, batch, batch_labels,
+                                          batch_weight,
+                                          train_pos=consts["tp"],
+                                          train_pos_valid=consts["tpv"])
                     return model.loss(params, graph, batch, batch_labels,
-                                      batch_weight,
-                                      train_pos=consts["tp"],
-                                      train_pos_valid=consts["tpv"])
-                return model.loss(params, graph, batch, batch_labels,
-                                  batch_weight, key=key)
-            labels_dev = graph.labels
+                                      batch_weight, key=key)
 
             # per-epoch key derived from (seed, epoch): deterministic and
             # resumable without threading key state through checkpoints
@@ -216,7 +271,12 @@ class Trainer:
         # stress scale keeps the (multi-GB) homo CSR out of the step's
         # argument set.
         full = self.graph
-        if is_pcgnn and full.num_relations:
+        if is_spmd:
+            graph = (x_sharded, rel_shards, full.labels)
+            self.predict_fn = lambda p, batch: spmd_predict(
+                p, x_sharded, rel_shards, jnp.asarray(batch, jnp.int32),
+                consts["tp"], consts["tpv"])
+        elif is_pcgnn and full.num_relations:
             graph = MultiRelGraph(relations=full.relations,
                                   homo=full.relations[0],
                                   features=full.features, labels=full.labels)
@@ -225,10 +285,12 @@ class Trainer:
                                   features=full.features, labels=full.labels)
         else:
             graph = full
+        if not is_spmd:
+            self.predict_fn = lambda p, batch: predict_jit(p, batch, graph,
+                                                           consts)
         self.epoch_fn = lambda p, o, e: epoch_jit(p, o, e, graph, consts)
         self.epoch_block_fn = lambda p, o, e0, n: block_jit(p, o, e0, n,
                                                             graph, consts)
-        self.predict_fn = lambda p, batch: predict_jit(p, batch, graph, consts)
 
     # ------------------------------------------------------------------ #
 

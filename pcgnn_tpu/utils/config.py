@@ -33,8 +33,15 @@ DEFAULTS = {
     # pcgnn_tpu additions
     "data_prefix": "data/",
     "threshold": 0.5,
+    # per-relation choose thresholds (reference ``self.thresholds``,
+    # src/layers.py:52,193); a list here does NOT grid-expand (grid()
+    # skips it) — it overrides the scalar "threshold" when set
+    "thresholds": None,
     "graph_id": None,
     "num_devices": 1,
+    # optional 'graph' axis size of the ('data','graph') mesh; default
+    # factorization is parallel.mesh.factor_mesh(num_devices)
+    "mesh_graph": None,
 }
 
 REQUIRED = ("data_name", "model")
@@ -55,10 +62,16 @@ def with_defaults(cfg: dict) -> dict:
     return out
 
 
+# list-valued keys that are *values*, not sweep axes
+_NO_GRID = {"thresholds"}
+
+
 def grid(cfg: dict) -> List[dict]:
     """Expand list-valued entries into the cross product of configs
-    (reference ``grid``, ``main.py:107-144``)."""
-    listed = {k: v for k, v in cfg.items() if isinstance(v, list)}
+    (reference ``grid``, ``main.py:107-144``).  Keys in ``_NO_GRID``
+    (per-relation lists) are passed through, not expanded."""
+    listed = {k: v for k, v in cfg.items()
+              if isinstance(v, list) and k not in _NO_GRID}
     if not listed:
         return [dict(cfg)]
     fixed = {k: v for k, v in cfg.items() if not isinstance(v, list)}
