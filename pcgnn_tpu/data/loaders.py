@@ -26,6 +26,7 @@ from pcgnn_tpu.graph.csr import (
     build_multirel,
     csr_from_adj_dict,
     csr_from_scipy,
+    rel_threshold,
 )
 from pcgnn_tpu.data.synthetic import synthetic_fraud_graph
 
@@ -45,8 +46,11 @@ _PICKLED = {
 NUM_UNLABELED = {"amazon": 3305, "amazon_new": 2013}
 
 
-def load_data(name: str, prefix: str = "data/", *, threshold: float = 0.5,
+def load_data(name: str, prefix: str = "data/",
+              *, threshold: float | list = 0.5,
               graph_id=None, seed: int = 0) -> MultiRelGraph:
+    """``threshold`` may be one float or a per-relation list (the
+    reference's ``thresholds`` attribute, ``src/layers.py:52,193``)."""
     if name.startswith("synthetic"):
         preset = name.split(":", 1)[1] if ":" in name else "small"
         return synthetic_fraud_graph(preset, seed=seed, threshold=threshold)
@@ -89,12 +93,13 @@ def _load_pickled(name: str, prefix: str, threshold: float) -> MultiRelGraph:
         os.path.join(base, pt_name), ("review", "user", None))
     n = len(labels)
 
-    def load_adj(suffix):
+    def load_adj(suffix, thr):
         with open(os.path.join(base, f"{fpref}_{suffix}_adjlists.pickle"), "rb") as f:
-            return csr_from_adj_dict(pickle.load(f), n, threshold=threshold)
+            return csr_from_adj_dict(pickle.load(f), n, threshold=thr)
 
-    homo = load_adj("homo")
-    rels = [homo if s == "homo" else load_adj(s) for s in rel_sufs]
+    homo = load_adj("homo", rel_threshold(threshold, None))
+    rels = [homo if s == "homo" else load_adj(s, rel_threshold(threshold, r))
+            for r, s in enumerate(rel_sufs)]
     return build_multirel(rels, homo, feats, labels)
 
 
@@ -110,14 +115,14 @@ def _load_kdk(prefix: str, graph_id, threshold: float) -> MultiRelGraph:
     net_types = ["_c_acc_c_network", "_c_clcare_c_network", "_c_fp_c_network",
                  "_c_hsdrcare_c_network", "_c_insr_c_network"]
     rels = []
-    for t in net_types:
+    for r, t in enumerate(net_types):
         mat = scipy.sparse.load_npz(
             os.path.join(prefix, "G0_Hetero", f"{gid}{t}(CSC).npz"))
-        rels.append(csr_from_scipy(mat, threshold=threshold))
+        rels.append(csr_from_scipy(mat, threshold=rel_threshold(threshold, r)))
     homo = csr_from_scipy(
         scipy.sparse.load_npz(
             os.path.join(prefix, "G0_Homo", f"{gid}_G0_Homo_network(CSC).npz")),
-        threshold=threshold)
+        threshold=rel_threshold(threshold, None))
     return build_multirel(rels, homo, feats, labels.astype(np.int64))
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 
 from pcgnn_tpu.graph.csr import (MultiRelGraph, build_multirel,
-                                 csr_from_edges, degree_stub)
+                                 csr_from_edges, degree_stub, rel_threshold)
 
 # shape statistics of the reference datasets (SURVEY.md §6)
 PRESETS = {
@@ -60,7 +60,7 @@ def synthetic_fraud_graph(
     homophily: float = 0.5,
     feature_separation: float = 1.0,
     seed: int = 0,
-    threshold: float = 0.5,
+    threshold: float | list = 0.5,
 ) -> MultiRelGraph:
     if preset is not None:
         n, f, rate, epr, _ = PRESETS[preset]
@@ -111,11 +111,13 @@ def synthetic_fraud_graph(
         dst = np.where(homo_edge, dst_same, dst_uniform)
         src = np.concatenate([src, hub_src])
         dst = np.concatenate([dst, hub_dst])
-        rels.append(csr_from_edges(src, dst, n, threshold=threshold,
+        rels.append(csr_from_edges(src, dst, n,
+                                   threshold=rel_threshold(threshold, r),
                                    symmetrize=symmetrize))
         all_src.append(src)
         all_dst.append(dst)
 
+    homo_thr = rel_threshold(threshold, None)
     if preset in _DIRECTED_PRESETS:
         # stress presets: the homo graph only feeds pick-sampler degrees;
         # a degree-only stub avoids hosting a 200M-edge CSR in HBM.  The
@@ -126,9 +128,9 @@ def synthetic_fraud_graph(
         key = np.unique(np.concatenate(
             [s * n + d for s, d in zip(all_src, all_dst)] + [loops * n + loops]))
         deg = np.bincount((key // n).astype(np.int64), minlength=n)
-        homo = degree_stub(deg, threshold=threshold)
+        homo = degree_stub(deg, threshold=homo_thr)
     else:
         homo = csr_from_edges(
             np.concatenate(all_src), np.concatenate(all_dst), n,
-            threshold=threshold, symmetrize=symmetrize)
+            threshold=homo_thr, symmetrize=symmetrize)
     return build_multirel(rels, homo, feats, labels)

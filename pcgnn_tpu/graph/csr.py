@@ -332,3 +332,16 @@ def build_multirel(
         features=jnp.asarray(np.asarray(features), dtype=jnp.float32),
         labels=jnp.asarray(np.asarray(labels), dtype=jnp.int32),
     )
+
+
+def rel_threshold(threshold, r) -> float:
+    """Resolve a scalar-or-per-relation choose threshold.
+
+    The reference keeps a per-relation ``thresholds`` list (fixed 0.5 each,
+    ``src/layers.py:52,193``); configs here may pass either one float
+    (``threshold``) or a list (``thresholds``).  ``r=None`` (the homo graph,
+    which never runs choose) resolves a list to the 0.5 default.
+    """
+    if isinstance(threshold, (list, tuple)):
+        return 0.5 if r is None else float(threshold[r])
+    return float(threshold)

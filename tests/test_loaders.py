@@ -126,3 +126,61 @@ def test_convert_mat_pipeline(tmp_path):
     col = np.asarray(g.homo.col)
     for v in range(n):
         assert v in set(col[indptr[v]:indptr[v + 1]].tolist())
+
+
+def test_load_kdk_fabricated(tmp_path):
+    """kdk branch (``src/utils.py:186-207``): 5 CSC .npz relation networks
+    + homo + CSC features + labels, fabricated on disk."""
+    import scipy.sparse as sp
+
+    from pcgnn_tpu.data.loaders import load_data
+
+    rng = np.random.default_rng(0)
+    n, f = 64, 8
+    gid = "007"
+    (tmp_path / "attributes").mkdir()
+    (tmp_path / "labels").mkdir()
+    (tmp_path / "G0_Hetero").mkdir()
+    (tmp_path / "G0_Homo").mkdir()
+
+    feats = sp.csc_matrix(rng.normal(size=(n, f)).astype(np.float32))
+    sp.save_npz(tmp_path / "attributes" / f"{gid}_node_feature(CSC).npz",
+                feats)
+    labels = (rng.random(n) < 0.2).astype(np.int64)
+    np.save(tmp_path / "labels" / f"{gid}_label.npy", labels)
+
+    net_types = ["_c_acc_c_network", "_c_clcare_c_network", "_c_fp_c_network",
+                 "_c_hsdrcare_c_network", "_c_insr_c_network"]
+    mats = []
+    for t in net_types:
+        m = sp.random(n, n, density=0.05, random_state=rng, format="csc")
+        sp.save_npz(tmp_path / "G0_Hetero" / f"{gid}{t}(CSC).npz", m)
+        mats.append(m)
+    homo = sp.csc_matrix(sum(m.astype(bool).astype(np.int8) for m in mats))
+    sp.save_npz(tmp_path / "G0_Homo" / f"{gid}_G0_Homo_network(CSC).npz",
+                homo)
+
+    g = load_data("kdk", str(tmp_path) + "/", graph_id=7)
+    assert g.num_relations == 5
+    assert g.num_nodes == n and g.feat_dim == f
+    np.testing.assert_array_equal(np.asarray(g.labels), labels)
+    np.testing.assert_allclose(np.asarray(g.features), feats.toarray(),
+                               rtol=1e-6)
+    # each relation carries the self-loop+symmetrize prep of the reference's
+    # in-memory conversion (sparse_to_adjlist_for_train, src/utils.py:244)
+    for rel, m in zip(g.relations, mats):
+        want = (m.astype(bool) + m.T.astype(bool)
+                + sp.eye(n, dtype=bool)).astype(bool)
+        assert rel.num_edges == want.nnz
+    assert not g.homo.is_stub
+
+
+def test_load_data_per_relation_thresholds():
+    from pcgnn_tpu.data.loaders import load_data
+
+    thr = [0.3, 0.5, 0.7]
+    g = load_data("synthetic:tiny", threshold=thr, seed=3)
+    for t, rel in zip(thr, g.relations):
+        deg = np.asarray(rel.deg)
+        np.testing.assert_array_equal(np.asarray(rel.ksample),
+                                      np.ceil(t * deg).astype(np.int32))
