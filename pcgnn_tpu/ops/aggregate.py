@@ -36,7 +36,10 @@ import jax.numpy as jnp
 
 from pcgnn_tpu.graph.csr import RelGraph
 
-_INF = jnp.float32(jnp.inf)
+# a python float, NOT jnp.float32(inf): a module-level jnp constant would
+# initialize the XLA backend at import time, which breaks
+# jax.distributed.initialize (must run before any backend init)
+_INF = float("inf")
 
 
 def _round_up(x: int, m: int) -> int:

@@ -1,0 +1,80 @@
+"""Multi-host (multi-process) scaffolding.
+
+The reference is strictly single-process/single-GPU (SURVEY.md §5
+"Distributed communication backend: absent"); pcgnn_tpu scales past one
+host with ``jax.distributed`` + a ('dcn', 'data', 'graph') mesh:
+
+  * ``dcn``   — one slot per process/host.  Collectives crossing this axis
+    ride the data-center network, so only the cheapest reductions are
+    placed on it: the loss/grad psum (scalars + parameter-sized tensors).
+    It is a pure-DP axis — an outer extension of 'data'.
+  * ``data``  — batch sharding within a host (ICI).
+  * ``graph`` — node/edge row-block partition of features + structure
+    (``parallel.spmd.ShardedRel``) within a host, innermost so the
+    per-step score all-gather and aggregation psums ride ICI, never DCN.
+
+Axis placement rule: ``make_multihost_mesh`` keeps each process's devices
+contiguous along ('data', 'graph') and stacks processes along 'dcn', so
+per-step 'graph' collectives are intra-host by construction.
+
+``parallel.spmd`` detects the extra axis via :func:`spmd.data_axes`:
+batch arrays shard over ('dcn', 'data'), graph arrays over 'graph', and
+the loss reduction psums over ('dcn', 'data').
+
+Tested without a pod by launching N local processes with
+``xla_force_host_platform_device_count`` CPU devices each and a
+localhost coordinator (``tests/test_multihost.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None,
+                     local_device_ids=None) -> None:
+    """Initialize the jax distributed runtime.
+
+    On TPU pods all arguments are auto-detected from the environment; pass
+    them explicitly for CPU/GPU clusters or local multi-process tests
+    (e.g. ``coordinator_address='localhost:12355', num_processes=2,
+    process_id=int(sys.argv[1])``).
+    """
+    kw = {}
+    if coordinator_address is not None:
+        kw.update(coordinator_address=coordinator_address,
+                  num_processes=num_processes, process_id=process_id)
+    if local_device_ids is not None:
+        kw.update(local_device_ids=local_device_ids)
+    jax.distributed.initialize(**kw)
+
+
+def make_multihost_mesh(graph: int = 1, *, data: Optional[int] = None) -> Mesh:
+    """Build the ('dcn', 'data', 'graph') mesh over all global devices.
+
+    ``graph`` (and optionally ``data``) size the *per-process* axes; the
+    'dcn' axis length is ``jax.process_count()``.  Every process's devices
+    form one contiguous ('data', 'graph') tile, so 'graph' collectives are
+    intra-host (ICI) and only ('dcn',)-crossing reductions touch DCN.
+    """
+    n_proc = jax.process_count()
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    per_proc = len(devs) // n_proc
+    if per_proc * n_proc != len(devs):
+        raise ValueError(f"{len(devs)} devices not even over {n_proc} procs")
+    if per_proc % graph:
+        raise ValueError(f"graph={graph} does not divide the {per_proc} "
+                         f"devices per process")
+    if data is None:
+        data = per_proc // graph
+    if data * graph != per_proc:
+        raise ValueError(f"mesh {data}x{graph} != {per_proc} per-process "
+                         f"devices")
+    arr = np.array(devs, dtype=object).reshape(n_proc, data, graph)
+    return Mesh(arr, axis_names=("dcn", "data", "graph"))

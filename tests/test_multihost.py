@@ -1,0 +1,126 @@
+"""Multi-host integration: 2 local processes × 4 virtual CPU devices each,
+coordinated by ``jax.distributed`` over a localhost port, computing the
+SPMD loss on a ('dcn', 'data', 'graph') mesh — must equal the
+single-process single-device loss (VERDICT r1 'Next round' #4)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = """
+import os, sys
+pid, nproc, port, out = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=4").strip()
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from pcgnn_tpu.parallel.distributed import init_distributed, make_multihost_mesh
+init_distributed(f"localhost:{{port}}", nproc, pid)
+assert jax.process_count() == nproc, jax.process_count()
+assert len(jax.devices()) == 4 * nproc, len(jax.devices())
+
+import jax.numpy as jnp
+import numpy as np
+from pcgnn_tpu.data.synthetic import synthetic_fraud_graph
+from pcgnn_tpu.models import build_model
+from pcgnn_tpu.parallel.spmd import (
+    pad_graph_for_mesh, shard_batch, shard_relations, spmd_loss_fn)
+
+mesh = make_multihost_mesh(graph=2)
+assert dict(mesh.shape) == {{"dcn": nproc, "data": 2, "graph": 2}}, mesh.shape
+
+g = synthetic_fraud_graph("tiny", seed=4)
+model = build_model("PCGNN", feat_dim=g.feat_dim, emb_dim=16,
+                    num_relations=3, alpha=2.0, rho=0.5)
+params = model.init(jax.random.key(0))
+labels = np.asarray(g.labels)
+train_pos = np.flatnonzero(labels == 1)[:16]
+tp = jnp.asarray(train_pos, jnp.int32)
+tpv = jnp.ones(len(train_pos), bool)
+
+x_sharded, n_pad = pad_graph_for_mesh(g, mesh)
+shards = shard_relations(g, mesh, n_pad)
+loss_fn = spmd_loss_fn(model, mesh, n_pad, shards)
+
+b = 32
+batch = jnp.arange(b, dtype=jnp.int32)
+y = jnp.asarray(labels[:b], jnp.int32)
+w = jnp.ones((b,), jnp.float32)
+batch_s, y_s, w_s = shard_batch(mesh, batch, y, w)
+
+loss = jax.jit(loss_fn)(params, x_sharded, shards, batch_s, y_s, w_s, tp, tpv)
+with open(out, "w") as f:
+    f.write(repr(float(loss)))
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_loss_matches_single_process(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER.format(repo=REPO))
+    port = _free_port()
+    nproc = 2
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # workers set their own device count
+    # a TPU-plugin sitecustomize (if present, e.g. axon) initializes the
+    # XLA backend at interpreter startup — before the worker could call
+    # jax.distributed.initialize; disarm it and pin the CPU platform
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+
+    procs, outs = [], []
+    for pid in range(nproc):
+        out = tmp_path / f"loss_{pid}.txt"
+        outs.append(out)
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker), str(pid), str(nproc), str(port),
+             str(out)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            stdout, _ = p.communicate()
+        logs.append(stdout.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+
+    losses = [float(o.read_text()) for o in outs]
+    assert losses[0] == losses[1], losses  # replicated output, same value
+
+    # single-process single-device reference
+    import jax
+    import jax.numpy as jnp
+
+    from pcgnn_tpu.data.synthetic import synthetic_fraud_graph
+    from pcgnn_tpu.models import build_model
+
+    g = synthetic_fraud_graph("tiny", seed=4)
+    model = build_model("PCGNN", feat_dim=g.feat_dim, emb_dim=16,
+                        num_relations=3, alpha=2.0, rho=0.5)
+    params = model.init(jax.random.key(0))
+    labels = np.asarray(g.labels)
+    train_pos = np.flatnonzero(labels == 1)[:16]
+    tp = jnp.asarray(train_pos, jnp.int32)
+    tpv = jnp.ones(len(train_pos), bool)
+    ref = model.loss(params, g, jnp.arange(32, dtype=jnp.int32),
+                     jnp.asarray(labels[:32], jnp.int32),
+                     train_pos=tp, train_pos_valid=tpv)
+    np.testing.assert_allclose(losses[0], float(ref), rtol=1e-4)
