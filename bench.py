@@ -59,20 +59,42 @@ def main():
     edges_per_epoch = edges_per_sample * t.sample_size
 
     # warmup (compile); the block runner amortizes per-dispatch latency the
-    # same way production training does (one call per validation interval)
+    # same way production training does (one call per validation interval).
+    # float(loss) — not block_until_ready — is the completion barrier:
+    # through a tunneled/proxy TPU runtime block_until_ready can return
+    # before execution finishes (see utils/roofline.py), while a host fetch
+    # of the scalar loss cannot.
     params, opt_state, loss = t.epoch_block_fn(params, opt_state, 0,
                                                args.epochs)
-    jax.block_until_ready(loss)
+    float(loss)
 
     t0 = time.perf_counter()
     params, opt_state, loss = t.epoch_block_fn(params, opt_state, args.epochs,
                                                args.epochs)
-    jax.block_until_ready(loss)
+    float(loss)
     dt = (time.perf_counter() - t0) / args.epochs
 
     edges_per_s = edges_per_epoch / dt
     epochs_per_hour = 3600.0 / dt
     step_ms = dt / t.num_batches * 1e3
+
+    # roofline: time ONE standalone training step against the chip's
+    # speed-of-light — analytic minimum HBM streaming traffic / peak BW.
+    # hbm_bw_util is that fraction: peak-bandwidth-seconds of unavoidable
+    # traffic per measured second (see benchmarks/roofline.py for the
+    # per-kernel breakdown and utils/roofline.py for methodology).
+    from pcgnn_tpu.utils import roofline
+    rng = np.random.default_rng(0)
+    rb = rng.choice(np.asarray(t.idx_train), args.batch_size)
+    ry = np.asarray(t.graph.labels)[rb]
+    rw = np.ones((args.batch_size,), np.float32)
+    fn, fargs = t.single_step(params, opt_state, rb, ry, rw)
+    m_max = max(1, min(
+        int(t.train_pos_dev.shape[0]),
+        int(max(r.ksample_max for r in t.graph.relations) * t.model.rho)))
+    step_bytes = roofline.pcgnn_step_streaming_bytes(
+        t.graph, args.batch_size, m_max, args.emb_size)
+    roof = roofline.measure(fn, *fargs, analytic_bytes=step_bytes)
 
     vs_baseline = 1.0
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -91,6 +113,11 @@ def main():
         "vs_baseline": round(vs_baseline, 3),
         "epochs_per_hour": round(epochs_per_hour, 1),
         "step_ms": round(step_ms, 2),
+        "hbm_bw_util": (round(roof["sol_frac"], 4)
+                        if roof.get("sol_frac") is not None else None),
+        "step_achieved_gbps": round(roof["achieved_gbps"], 1),
+        "peak_gbps": roof["peak_gbps"],
+        "roofline_step_ms": round(roof["wall_ms"], 3),
         "preset": args.preset,
         "batch_size": args.batch_size,
         "device": str(jax.devices()[0]),

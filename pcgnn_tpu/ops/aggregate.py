@@ -566,14 +566,25 @@ def minor_dedup_threshold(rel: RelGraph, batch: jax.Array,
     return jnp.where(active, thresh, -_INF)
 
 
+# node-chunk width of the window-form full-graph SpMM: bounds the gathered
+# [C, D, F] block to C*D*F*4 bytes (~50 MB at yelp scale)
+SPMM_NODE_CHUNK = 2048
+
+
 def segment_mean_spmm(rel: RelGraph, features: jax.Array,
                       keep: jax.Array | None = None) -> jax.Array:
-    """Full-graph mean aggregation h[v] = mean_{u in N(v)} x[u] via
-    gather + sorted segment-sum over the flat edge list.
+    """Full-graph mean aggregation h[v] = mean_{u in N(v)} x[u].
 
-    Used by the full-graph paths (large-scale benchmarks, SPMD edge
-    partitioning) where a [B, N] dense mask would not fit.  ``keep`` is an
-    optional [E_pad] bool edge filter.
+    Two lowerings (same math, oracle-tested equal):
+      * window form (default when the dense neighbor table exists and no
+        edge filter is given): chunked [C, D] row gather + einsum — the
+        same scatter-free shape as the training path.  Measured 8x faster
+        than the segment form on v5e (benchmarks/roofline.py): XLA lowers
+        ``segment_sum`` as scatter-add (~0.5% of the streaming roofline)
+        while dynamic row gathers run at ~330M rows/s.
+      * segment form (fallback; also the ``keep``-filter path since the
+        flat [E_pad] filter matches the flat edge layout): gather + sorted
+        ``segment_sum`` over the flat edge list.
     """
     if rel.is_stub:
         raise ValueError("segment_mean_spmm called on a degree-only stub "
@@ -581,6 +592,8 @@ def segment_mean_spmm(rel: RelGraph, features: jax.Array,
     n = rel.num_nodes
     feats_pad = jnp.concatenate(
         [features, jnp.zeros((1, features.shape[1]), features.dtype)], axis=0)
+    if keep is None and rel.nbr2d is not None and not rel.has_hubs:
+        return _window_mean_all_nodes(rel, feats_pad)[:n]
     row = rel.edge_rows()
     vals = feats_pad[rel.col]                                # [E_pad, F]
     w = (row < n)
@@ -593,3 +606,29 @@ def segment_mean_spmm(rel: RelGraph, features: jax.Array,
                               num_segments=n + 1, indices_are_sorted=True)
     out = seg[:n] / jnp.maximum(cnt[:n, None], 1.0)
     return out
+
+
+def _window_mean_all_nodes(rel: RelGraph, feats_pad: jax.Array) -> jax.Array:
+    """[N_pad, F] neighbor mean over every node, in SPMM_NODE_CHUNK blocks
+    (each block is one wide row gather + masked einsum; lax.map keeps peak
+    memory at one [C, D, F] block)."""
+    n, d = rel.num_nodes, max(rel.window_width, 1)
+    f = feats_pad.shape[1]
+    c = min(SPMM_NODE_CHUNK, n)
+    nblk = -(-n // c)
+    n_pad = nblk * c
+
+    def block(i0):
+        ids = i0 + jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)[:, 0]
+        ids = jnp.minimum(ids, n - 1)          # tail clamp; rows discarded
+        nbr = rel.nbr2d[ids]                   # [C, D]
+        degs = jnp.minimum(rel.deg[ids], d)
+        offs = jax.lax.broadcasted_iota(jnp.int32, (c, d), 1)
+        valid = (offs < degs[:, None]).astype(feats_pad.dtype)
+        num = jnp.einsum("cd,cdf->cf", valid, feats_pad[nbr])
+        cnt = jnp.sum(valid, axis=1)
+        return num / jnp.maximum(cnt, 1.0)[:, None]
+
+    starts = jnp.arange(nblk, dtype=jnp.int32) * c
+    out = jax.lax.map(block, starts)           # [nblk, C, F]
+    return out.reshape(n_pad, f)

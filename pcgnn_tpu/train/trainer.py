@@ -179,25 +179,25 @@ class Trainer:
         # As arguments they stay device-resident buffers referenced by
         # handle.  Under SPMD ``graph`` is (x_sharded, rel_shards, labels);
         # the sharded step math lives in ``parallel.spmd``.
-        def _epoch(params, opt_state, epoch_idx, graph, consts):
+        def _loss(params, batch, batch_labels, batch_weight, key, graph,
+                  consts):
             if is_spmd:
-                xg, shards, labels_dev = graph
+                xg, shards, _ = graph
+                return spmd_loss(params, xg, shards, batch, batch_labels,
+                                 batch_weight, consts["tp"], consts["tpv"])
+            if is_pcgnn:
+                return model.loss(params, graph, batch, batch_labels,
+                                  batch_weight, train_pos=consts["tp"],
+                                  train_pos_valid=consts["tpv"])
+            return model.loss(params, graph, batch, batch_labels,
+                              batch_weight, key=key)
 
-                def loss_fn(params, batch, batch_labels, batch_weight, key):
-                    return spmd_loss(params, xg, shards, batch, batch_labels,
-                                     batch_weight, consts["tp"],
-                                     consts["tpv"])
-            else:
-                labels_dev = graph.labels
+        def _epoch(params, opt_state, epoch_idx, graph, consts):
+            labels_dev = graph[2] if is_spmd else graph.labels
 
-                def loss_fn(params, batch, batch_labels, batch_weight, key):
-                    if is_pcgnn:
-                        return model.loss(params, graph, batch, batch_labels,
-                                          batch_weight,
-                                          train_pos=consts["tp"],
-                                          train_pos_valid=consts["tpv"])
-                    return model.loss(params, graph, batch, batch_labels,
-                                      batch_weight, key=key)
+            def loss_fn(params, batch, batch_labels, batch_weight, key):
+                return _loss(params, batch, batch_labels, batch_weight, key,
+                             graph, consts)
 
             # per-epoch key derived from (seed, epoch): deterministic and
             # resumable without threading key state through checkpoints
@@ -249,6 +249,18 @@ class Trainer:
         block_jit = jax.jit(_epoch_block, static_argnums=(3,),
                             donate_argnums=(0, 1))
 
+        # one optimizer step (loss -> grads -> Adam), jitted standalone with
+        # NO donation: the roofline/profiling harness re-feeds the same
+        # buffers to pair XLA's "bytes accessed" with measured wall time
+        # (utils.roofline.measure).  Math identical to the scan body above.
+        def _step1(params, opt_state, batch, y, w, key, graph, consts):
+            loss, grads = jax.value_and_grad(_loss)(params, batch, y, w, key,
+                                                    graph, consts)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        self._step1_jit = jax.jit(_step1)
+
         def _predict(params, batch, graph, consts):
             probs, _ = model.to_prob(
                 params, graph, batch, train=False,
@@ -291,6 +303,16 @@ class Trainer:
         self.epoch_fn = lambda p, o, e: epoch_jit(p, o, e, graph, consts)
         self.epoch_block_fn = lambda p, o, e0, n: block_jit(p, o, e0, n,
                                                             graph, consts)
+        self._step_graph, self._step_consts = graph, consts
+
+    def single_step(self, params, opt_state, batch, y, w):
+        """(jitted_fn, full_args) for ONE training step — the profiling /
+        roofline entry point (pairs with ``utils.roofline.measure``)."""
+        key = jax.random.key(0)
+        args = (params, opt_state, jnp.asarray(batch, jnp.int32),
+                jnp.asarray(y, jnp.int32), jnp.asarray(w, jnp.float32), key,
+                self._step_graph, self._step_consts)
+        return self._step1_jit, args
 
     # ------------------------------------------------------------------ #
 

@@ -234,6 +234,7 @@ def test_hub_step_memory_scales_with_cap_not_dmax():
     assert capped < 0.5 * uncapped, (capped, uncapped)
 
 
+@pytest.mark.slow
 def test_hub_step_memory_within_2x_of_uniform_preset_at_scale():
     """VERDICT #1 'done' criterion at realistic scale: yelp-skew (dmax 50x+
     the mean on the RSR-like relation) must compile a training step whose

@@ -70,6 +70,7 @@ def _free_port():
     return port
 
 
+@pytest.mark.slow
 def test_two_process_loss_matches_single_process(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER.format(repo=REPO))

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pcgnn_tpu.data.synthetic import synthetic_fraud_graph
 from pcgnn_tpu.graph.csr import csr_from_edges
@@ -183,6 +184,7 @@ def test_dense_neighbor_table_budget_gate(monkeypatch):
     assert rel.nbr2d is None  # falls back to CSR-only
 
 
+@pytest.mark.slow
 def test_oversample_candidates_windowed_matches_dense_oracle():
     """The production 1-D windowed selection (sort + searchsorted + [B,2M]
     lexicographic sort) must reproduce the dense [B,P] top_k oracle:
@@ -233,6 +235,7 @@ def test_oversample_candidates_windowed_matches_dense_oracle():
                     == np.where(d_val, d_ids, -1)).all()
 
 
+@pytest.mark.slow
 def test_keep_nearest_matches_rank_rule():
     """keep_nearest (value sort + threshold + tie prefix) must equal the
     double-argsort rank rule valid & (row_ranks(d) < k) bit-for-bit,
@@ -287,3 +290,44 @@ def test_csr_fallback_gather_unaffected_by_edge_padding():
         nbr_d, val_d = batch_neighbor_window(rel, batch)
         np.testing.assert_array_equal(np.asarray(nbr_c), np.asarray(nbr_d))
         np.testing.assert_array_equal(np.asarray(val_c), np.asarray(val_d))
+
+
+def test_spmm_window_form_matches_segment_form():
+    """The nbr2d window lowering of segment_mean_spmm must equal the
+    flat-edge segment_sum lowering (same math, different schedule)."""
+    from pcgnn_tpu.ops import aggregate as agg
+
+    g = _tiny_graph()
+    for rel in g.relations:
+        if rel.nbr2d is None or rel.has_hubs:
+            continue
+        feats_pad = jnp.concatenate(
+            [g.features, jnp.zeros((1, g.feat_dim), g.features.dtype)])
+        win = np.asarray(agg._window_mean_all_nodes(rel, feats_pad)
+                         [: rel.num_nodes])
+        # force the segment path by passing an all-true keep filter
+        keep = jnp.ones((rel.col.shape[0],), bool)
+        seg = np.asarray(agg.segment_mean_spmm(rel, g.features, keep=keep))
+        np.testing.assert_allclose(win, seg, rtol=2e-5, atol=1e-6)
+
+
+def test_spmm_window_form_chunk_tail():
+    """Node counts that do not divide SPMM_NODE_CHUNK exercise the clamped
+    tail block."""
+    from pcgnn_tpu.ops import aggregate as agg
+
+    old = agg.SPMM_NODE_CHUNK
+    agg.SPMM_NODE_CHUNK = 100  # 512 nodes -> 6 blocks, ragged tail
+    try:
+        g = _tiny_graph()
+        rel = g.relations[0]
+        out = np.asarray(segment_mean_spmm(rel, g.features))
+        indptr, col = np.asarray(rel.indptr), np.asarray(rel.col)
+        x = np.asarray(g.features)
+        for v in [0, 99, 100, 499, 511]:
+            neigh = col[indptr[v]:indptr[v + 1]]
+            if len(neigh):
+                np.testing.assert_allclose(out[v], x[neigh].mean(0),
+                                           rtol=1e-5)
+    finally:
+        agg.SPMM_NODE_CHUNK = old

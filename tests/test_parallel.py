@@ -39,6 +39,7 @@ def setup():
     return g, model, params, labels, tp, tpv
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("dd,dg", [(4, 2), (2, 4), (8, 1)])
 def test_spmd_loss_matches_single_device(setup, dd, dg):
     g, model, params, labels, tp, tpv = setup
@@ -115,6 +116,7 @@ def test_spmd_train_step_runs_and_updates(setup):
     assert max(jax.tree.leaves(moved)) > 0, "params did not update"
 
 
+@pytest.mark.slow
 def test_spmd_grads_match_single_device(setup):
     g, model, params, labels, tp, tpv = setup
     mesh = make_mesh(data=2, graph=4)
@@ -159,6 +161,7 @@ def test_shard_relation_rejects_stub_and_hub():
         shard_relation(rel, mesh, 64)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entry():
     import importlib.util
     import os

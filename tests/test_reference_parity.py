@@ -213,6 +213,7 @@ def test_adam_step_matches_reference(setup):
                                    atol=2e-6)
 
 
+@pytest.mark.slow
 def test_five_relation_forward_matches_interagg5():
     """R=5 parity against the reference ``InterAgg5``
     (``src/layers.py:16-158``) — the KDK 5-network variant the reference

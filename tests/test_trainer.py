@@ -191,6 +191,7 @@ def test_epoch_block_matches_sequential_epochs(tmp_path, monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_spmd_trainer_matches_single_chip(tmp_path, monkeypatch):
     """``num_devices: 8`` trains end-to-end on the virtual mesh through the
     normal Trainer protocol (pick -> epoch scan -> validation -> restore

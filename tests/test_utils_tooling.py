@@ -37,3 +37,38 @@ def test_fleet_dry_run(tmp_path, capsys):
 def test_fleet_empty_dir(tmp_path, capsys):
     assert run_configs(str(tmp_path)) == 0
     assert "no configs" in capsys.readouterr().out
+
+
+def test_roofline_measure_cpu():
+    """utils.roofline on the CPU backend: unknown chip -> absolute numbers
+    only; timing and analytic accounting still work."""
+    import jax
+    import jax.numpy as jnp
+
+    from pcgnn_tpu.utils import roofline
+
+    bw, fl = roofline.chip_peaks(jax.devices()[0])
+    assert bw is None and fl is None  # CPU: no peak table entry
+
+    n = 256
+    x = jnp.ones((n, n), jnp.float32)
+    res = roofline.measure(jax.jit(lambda a: a @ a), x,
+                           analytic_bytes=3 * n * n * 4,
+                           analytic_flops=2 * n ** 3)
+    assert res["wall_ms"] > 0
+    assert res["achieved_gbps"] > 0
+    assert res["flops"] == 2 * n ** 3
+    assert res["mfu"] is None and res["peak_gbps"] is None
+    assert "sol_frac" not in res  # needs a known peak
+
+
+def test_pcgnn_step_streaming_bytes():
+    from pcgnn_tpu.data.synthetic import synthetic_fraud_graph
+    from pcgnn_tpu.utils import roofline
+
+    g = synthetic_fraud_graph("tiny", seed=0)
+    b = roofline.pcgnn_step_streaming_bytes(g, 64, m_max=8, emb_dim=16)
+    # must at least cover the per-relation window reads
+    floor = sum(64 * max(int(r.window_width), 1) * (g.feat_dim + 1) * 4
+                for r in g.relations)
+    assert b >= floor
