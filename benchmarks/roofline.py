@@ -106,10 +106,19 @@ def bench_relation_kernels(graph, batch_size: int):
                  "shape": f"E={rel.num_edges} N={n} F={f}", **res})
 
     s0 = jnp.asarray(rng.standard_normal((n,)), jnp.float32)
+    if rel.nbr2d is not None:
+        from pcgnn_tpu.ops.sddmm import edge_abs_diff_window
+        sddmm_w = jax.jit(edge_abs_diff_window)
+        # read nbr2d + scores, write dist + valid ([N, D] each)
+        nd = n * max(int(rel.window_width), 1)
+        res = roofline.measure(sddmm_w, rel, s0,
+                               analytic_bytes=nd * (4 + 4 + 4 + 1))
+        rows.append({"kernel": "sddmm_window_form",
+                     "shape": f"E={rel.num_edges}", **res})
     sddmm = jax.jit(edge_abs_diff)
     res = roofline.measure(sddmm, rel, s0,
                            analytic_bytes=e_pad * (4 + 4 + 4))
-    rows.append({"kernel": "sddmm_edge_abs_diff",
+    rows.append({"kernel": "sddmm_flat_form",
                  "shape": f"E={rel.num_edges}", **res})
     return rows
 

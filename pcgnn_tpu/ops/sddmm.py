@@ -31,6 +31,60 @@ def edge_abs_diff(rel: RelGraph, s0: jax.Array) -> jax.Array:
     return jnp.where(row < rel.num_nodes, d, jnp.inf)
 
 
+# node-chunk width of the window-form SDDMM (bounds the [C, D, 8] gather)
+SDDMM_NODE_CHUNK = 4096
+# lane width of the broadcast score table: XLA's dynamic row gather is
+# row-count-bound and pessimizes on 1-wide rows (137M rows/s) vs 8-wide
+# (371M rows/s) — see RESULTS.md roofline notes
+_S_BCAST = 8
+
+
+def edge_abs_diff_window(rel: RelGraph, s0: jax.Array):
+    """Window-layout SDDMM: dist[v, j] = |s0[v] - s0[nbr2d[v, j]]|.
+
+    The production layout — choose consumes per-row windows
+    (``src/layers.py:655-672``), never the flat edge order.  Implemented as
+    chunked wide row gathers from an 8-lane broadcast of ``s0`` (element
+    gathers run ~1e8 elem/s on TPU; 8-wide row gathers ~3.7e8 rows/s), the
+    same schedule as ``ops.aggregate._window_mean_all_nodes``.
+
+    On a window-capped relation (``rel.has_hubs``) this scores the capped
+    window only — the same lane production aggregation sees; hub tails live
+    in ``ops.hub``.
+
+    Returns:
+      dist:  [N, D] float32, +inf at invalid (padding) slots.
+      valid: [N, D] bool.
+    """
+    if rel.is_stub:
+        raise ValueError("edge_abs_diff_window called on a degree-only stub "
+                         "relation (empty edge list); see degree_stub.")
+    if rel.nbr2d is None:
+        raise ValueError("edge_abs_diff_window needs the dense neighbor "
+                         "table (rel.nbr2d); use edge_abs_diff for CSR-only "
+                         "relations")
+    n, d = rel.num_nodes, max(rel.window_width, 1)
+    s8 = jnp.broadcast_to(s0[:, None], (n, _S_BCAST))
+    s8 = jnp.concatenate([s8, jnp.zeros((1, _S_BCAST), s0.dtype)])
+    c = min(SDDMM_NODE_CHUNK, n)
+    nblk = -(-n // c)
+
+    def block(i0):
+        ids = i0 + jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)[:, 0]
+        ids = jnp.minimum(ids, n - 1)          # tail clamp; rows discarded
+        nbr = rel.nbr2d[ids]                   # [C, D]
+        degs = jnp.minimum(rel.deg[ids], d)
+        offs = jax.lax.broadcasted_iota(jnp.int32, (c, d), 1)
+        valid = offs < degs[:, None]
+        nbr_s0 = s8[nbr][..., 0]               # [C, D] via wide row gather
+        dist = jnp.abs(s0[ids][:, None] - nbr_s0)
+        return jnp.where(valid, dist, jnp.inf), valid
+
+    starts = jnp.arange(nblk, dtype=jnp.int32) * c
+    dist, valid = jax.lax.map(block, starts)
+    return (dist.reshape(nblk * c, d)[:n], valid.reshape(nblk * c, d)[:n])
+
+
 def edge_ranks_global(rel: RelGraph, dist: jax.Array) -> jax.Array:
     """Per-edge ascending rank *within its CSR row*, computed with one global
     two-key sort (row, dist).  Exact; ties broken by edge order.

@@ -38,14 +38,18 @@ from jax.sharding import Mesh
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None,
-                     local_device_ids=None) -> None:
+                     local_device_ids=None, overlap: bool = True) -> None:
     """Initialize the jax distributed runtime.
 
     On TPU pods all arguments are auto-detected from the environment; pass
     them explicitly for CPU/GPU clusters or local multi-process tests
     (e.g. ``coordinator_address='localhost:12355', num_processes=2,
-    process_id=int(sys.argv[1])``).
+    process_id=int(sys.argv[1])``).  ``overlap`` (default) also arms the
+    async-collective libtpu flags (:func:`enable_collective_overlap`) —
+    legal here because jax.distributed must itself run pre-backend-init.
     """
+    if overlap:
+        enable_collective_overlap()
     kw = {}
     if coordinator_address is not None:
         kw.update(coordinator_address=coordinator_address,
@@ -53,6 +57,42 @@ def init_distributed(coordinator_address: Optional[str] = None,
     if local_device_ids is not None:
         kw.update(local_device_ids=local_device_ids)
     jax.distributed.initialize(**kw)
+
+
+# libtpu flags that let the TPU latency-hiding scheduler run the per-step
+# score all-gather / aggregation psums asynchronously, overlapping them
+# with halo-independent work (the neighbor-window reads, keep-mask sorts
+# and self-row gathers in parallel.spmd have no data dependency on the
+# score halo until the distance compare).  SURVEY.md §5/§7: "halo exchange
+# overlapped with local aggregation".  These go through LIBTPU_INIT_ARGS,
+# NOT XLA_FLAGS: XLA aborts on flags unknown to the local build (CPU test
+# environments have no TPU flags), while LIBTPU_INIT_ARGS is read only by
+# libtpu on actual TPU hosts and is inert everywhere else.
+OVERLAP_LIBTPU_FLAGS = (
+    "--xla_tpu_enable_async_collective_fusion=true "
+    "--xla_tpu_enable_async_collective_fusion_fuse_all_gather=true "
+    "--xla_tpu_overlap_compute_collective_tc=true"
+)
+
+
+def enable_collective_overlap() -> None:
+    """Append :data:`OVERLAP_LIBTPU_FLAGS` to ``LIBTPU_INIT_ARGS``.
+
+    Must run before the first backend touch (libtpu reads the env at
+    init); raises if a backend already exists so a silent no-op cannot
+    masquerade as overlap.  Harmless no-op on CPU/GPU hosts (the variable
+    is never read there).
+    """
+    import os
+
+    if jax._src.xla_bridge._backends:  # noqa: SLF001 — init-order guard
+        raise RuntimeError(
+            "enable_collective_overlap() must be called before any jax "
+            "backend initializes (import-time, like jax.distributed)")
+    cur = os.environ.get("LIBTPU_INIT_ARGS", "")
+    if "xla_tpu_overlap_compute_collective_tc" not in cur:
+        os.environ["LIBTPU_INIT_ARGS"] = (
+            f"{cur} {OVERLAP_LIBTPU_FLAGS}".strip())
 
 
 def make_multihost_mesh(graph: int = 1, *, data: Optional[int] = None) -> Mesh:

@@ -125,3 +125,41 @@ def test_two_process_loss_matches_single_process(tmp_path):
                      jnp.asarray(labels[:32], jnp.int32),
                      train_pos=tp, train_pos_valid=tpv)
     np.testing.assert_allclose(losses[0], float(ref), rtol=1e-4)
+
+
+def test_enable_collective_overlap_guard():
+    """Backend already initialized in-process -> must raise, never a
+    silent no-op (the flags would not take effect)."""
+    import jax
+
+    from pcgnn_tpu.parallel import distributed
+
+    jax.devices()  # force backend init
+    with pytest.raises(RuntimeError):
+        distributed.enable_collective_overlap()
+
+
+def test_enable_collective_overlap_sets_libtpu_args_in_fresh_process(tmp_path):
+    """In a fresh process (no backend yet) the helper must populate
+    LIBTPU_INIT_ARGS idempotently and leave XLA_FLAGS alone (XLA aborts on
+    unknown flags in non-TPU builds)."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os, sys; sys.path.insert(0, %r)\n"
+        "from pcgnn_tpu.parallel import distributed as d\n"
+        "d.enable_collective_overlap()\n"
+        "d.enable_collective_overlap()  # idempotent\n"
+        "args = os.environ['LIBTPU_INIT_ARGS']\n"
+        "assert args.count('xla_tpu_overlap_compute_collective_tc') == 1\n"
+        "assert 'xla_tpu' not in os.environ.get('XLA_FLAGS', '')\n"
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import jax.numpy as jnp\n"
+        "assert float(jnp.sum(jnp.ones(3))) == 3.0\n"
+        "print('OVERLAP-ENV-OK')\n" % REPO)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("LIBTPU_INIT_ARGS", None)
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=120)
+    assert "OVERLAP-ENV-OK" in out.stdout, (out.stdout, out.stderr)

@@ -331,3 +331,32 @@ def test_spmm_window_form_chunk_tail():
                                            rtol=1e-5)
     finally:
         agg.SPMM_NODE_CHUNK = old
+
+
+def test_edge_abs_diff_window_matches_flat():
+    """Window-layout SDDMM slot (v, j) must equal the flat form at edge
+    position indptr[v] + j, including the ragged chunk tail."""
+    from pcgnn_tpu.ops import sddmm
+
+    old = sddmm.SDDMM_NODE_CHUNK
+    sddmm.SDDMM_NODE_CHUNK = 100  # 512 nodes -> ragged tail block
+    try:
+        g = _tiny_graph()
+        rel = g.relations[1]
+        s0 = jnp.asarray(
+            np.random.default_rng(0).standard_normal(rel.num_nodes),
+            jnp.float32)
+        dist_w, valid_w = sddmm.edge_abs_diff_window(rel, s0)
+        flat = np.asarray(sddmm.edge_abs_diff(rel, s0))
+        dist_w, valid_w = np.asarray(dist_w), np.asarray(valid_w)
+        indptr = np.asarray(rel.indptr)
+        deg = np.asarray(rel.deg)
+        for v in [0, 7, 99, 100, 500, 511]:
+            k = deg[v]
+            assert valid_w[v, :k].all() and not valid_w[v, k:].any()
+            np.testing.assert_allclose(dist_w[v, :k],
+                                       flat[indptr[v]:indptr[v] + k],
+                                       rtol=1e-6)
+            assert np.isinf(dist_w[v, k:]).all()
+    finally:
+        sddmm.SDDMM_NODE_CHUNK = old
