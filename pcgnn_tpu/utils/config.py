@@ -48,8 +48,15 @@ REQUIRED = ("data_name", "model")
 
 
 def load_config(path: str) -> dict:
+    """JSON (the reference's active format, ``main.py:86-90``) or YAML
+    (``config/pcgnn_yelpchi.yml`` documented in the reference README:35 but
+    gitignored there — supported here so those configs run as-is)."""
     with open(path) as f:
-        cfg = json.load(f)
+        if path.endswith((".yml", ".yaml")):
+            import yaml
+            cfg = yaml.safe_load(f)
+        else:
+            cfg = json.load(f)
     return with_defaults(cfg)
 
 

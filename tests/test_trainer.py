@@ -216,3 +216,19 @@ def test_spmd_trainer_rejects_baselines(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     with pytest.raises(NotImplementedError, match="PCGNN"):
         Trainer(_cfg(tmp_path, model="GCN", num_devices=8))
+
+
+def test_load_config_yaml(tmp_path):
+    """YAML configs (reference README.md:35 documents a .yml config path)
+    load through the same schema/defaults as JSON."""
+    from pcgnn_tpu.utils.config import load_config
+
+    p = tmp_path / "cfg.yml"
+    p.write_text("data_name: yelp\nmodel: PCGNN\nlr: 0.005\n"
+                 "thresholds: [0.4, 0.5, 0.6]\n")
+    cfg = load_config(str(p))
+    assert cfg["data_name"] == "yelp" and cfg["lr"] == 0.005
+    assert cfg["thresholds"] == [0.4, 0.5, 0.6]
+    assert cfg["batch_size"] == 1024  # defaults applied
+    repo_yaml = load_config("configs/pcgnn_yelpchi.yml")
+    assert repo_yaml["model"] == "PCGNN" and repo_yaml["data_name"] == "yelp"
