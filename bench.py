@@ -89,9 +89,8 @@ def main():
     ry = np.asarray(t.graph.labels)[rb]
     rw = np.ones((args.batch_size,), np.float32)
     fn, fargs = t.single_step(params, opt_state, rb, ry, rw)
-    m_max = max(1, min(
-        int(t.train_pos_dev.shape[0]),
-        int(max(r.ksample_max for r in t.graph.relations) * t.model.rho)))
+    m_max = t.model.minor_window(int(t.train_pos_dev.shape[0]),
+                                 t.graph.relations)
     step_bytes = roofline.pcgnn_step_streaming_bytes(
         t.graph, args.batch_size, m_max, args.emb_size)
     roof = roofline.measure(fn, *fargs, analytic_bytes=step_bytes)

@@ -21,12 +21,13 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import socket
-import subprocess
 import sys
 import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pcgnn_tpu.utils.multiproc import cpu_worker_env, free_port, run_workers
 
 _WORKER = """
 import json, os, sys, time
@@ -87,35 +88,18 @@ if pid == 0:
 """
 
 
-def _free_port():
-    s = socket.socket()
-    s.bind(("localhost", 0))
-    port = s.getsockname()[1]
-    s.close()
-    return port
-
-
 def run_procs(nproc: int, args) -> dict:
     tmp = tempfile.mkdtemp()
     worker = os.path.join(tmp, "worker.py")
     with open(worker, "w") as f:
         f.write(_WORKER.format(repo=REPO))
     out = os.path.join(tmp, "result.json")
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
-    env.pop("XLA_FLAGS", None)
-    env.pop("PALLAS_AXON_POOL_IPS", None)  # disarm TPU sitecustomize
-    port = _free_port()
-    procs = [subprocess.Popen(
-        [sys.executable, worker, str(pid), str(nproc), str(port), out,
-         args.preset, str(args.steps), str(args.batch_per_data),
-         str(args.devices_per_proc)],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-        for pid in range(nproc)]
-    logs = [p.communicate(timeout=900)[0].decode(errors="replace")
-            for p in procs]
-    for p, log in zip(procs, logs):
-        if p.returncode != 0:
-            raise RuntimeError(f"worker failed:\n{log[-3000:]}")
+    port = free_port()
+    run_workers(worker,
+                [(pid, nproc, port, out, args.preset, args.steps,
+                  args.batch_per_data, args.devices_per_proc)
+                 for pid in range(nproc)],
+                env=cpu_worker_env(), timeout=900)
     with open(out) as f:
         return json.load(f)
 
@@ -129,13 +113,18 @@ def main():
     ap.add_argument("--steps", type=int, default=8)
     args = ap.parse_args()
 
-    results = []
+    ladder = []
     n = 1
     while n <= args.procs:
+        ladder.append(n)
+        n *= 2
+    if ladder[-1] != args.procs:  # non-power-of-2: measure it too
+        ladder.append(args.procs)
+    results = []
+    for n in ladder:
         rec = run_procs(n, args)
         results.append(rec)
         print(json.dumps(rec), flush=True)
-        n *= 2
     base = results[0]
     for r in results:
         r["weak_scaling_eff"] = round(

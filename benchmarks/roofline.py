@@ -146,25 +146,28 @@ def bench_train_step(preset: str, batch_size: int, emb_size: int):
     fn, args = t.single_step(params, opt_state, batch, y, w)
     (params_a, opt_a, batch_a, y_a, w_a, key_a, graph_a, consts_a) = args
 
-    m_max = max(1, min(
-        int(consts_a["tp"].shape[0]),
-        int(max(r.ksample_max for r in t.graph.relations) * t.model.rho)))
+    m_max = t.model.minor_window(int(consts_a["tp"].shape[0]),
+                                 t.graph.relations)
     step_bytes = roofline.pcgnn_step_streaming_bytes(
         t.graph, batch_size, m_max, emb_size)
 
     model = t.model
 
-    def fwd(params, batch, y, w):
-        return model.loss(params, graph_a, batch, y, w,
-                          train_pos=consts_a["tp"],
-                          train_pos_valid=consts_a["tpv"])
+    # graph/consts enter as ARGUMENTS, not closures: a closed-over graph is
+    # baked into the executable as literals and overflows compile-payload
+    # limits at stress scale (same rule as trainer.py's step functions)
+    def fwd(params, batch, y, w, graph, consts):
+        return model.loss(params, graph, batch, y, w,
+                          train_pos=consts["tp"],
+                          train_pos_valid=consts["tpv"])
 
     rows = []
     res = roofline.measure(jax.jit(fwd), params_a, batch_a, y_a, w_a,
-                           analytic_bytes=step_bytes)
+                           graph_a, consts_a, analytic_bytes=step_bytes)
     rows.append({"kernel": "loss_fwd", "shape": f"B={batch_size}", **res})
     res = roofline.measure(jax.jit(jax.value_and_grad(fwd)), params_a,
-                           batch_a, y_a, w_a, analytic_bytes=step_bytes)
+                           batch_a, y_a, w_a, graph_a, consts_a,
+                           analytic_bytes=step_bytes)
     rows.append({"kernel": "loss_grad", "shape": f"B={batch_size}", **res})
     res = roofline.measure(fn, *args, analytic_bytes=step_bytes)
     rows.append({"kernel": "train_step", "shape": f"B={batch_size}", **res})

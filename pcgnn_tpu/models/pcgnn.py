@@ -83,6 +83,15 @@ class PCGNN:
 
     # ------------------------------------------------------------------ #
 
+    def minor_window(self, num_train_pos: int, relations) -> int:
+        """Static width of the compact oversample-candidate window: the
+        largest ``int(ksample * rho)`` any relation can request, bounded by
+        the candidate pool.  Single source of truth for forward(),
+        bench.py and benchmarks/roofline.py."""
+        return max(1, min(
+            int(num_train_pos),
+            int(max(rel.ksample_max for rel in relations) * self.rho)))
+
     def forward(
         self,
         params: dict,
@@ -168,9 +177,8 @@ class PCGNN:
             # candidate ordering is relation-independent: sort once, keep the
             # static-max compact window (RelGraph.ksample_max bounds any
             # relation's int(ksample*rho) request)
-            m_max = max(1, min(
-                int(train_pos.shape[0]),
-                int(max(rel.ksample_max for rel in graph.relations) * self.rho)))
+            m_max = self.minor_window(int(train_pos.shape[0]),
+                                      graph.relations)
             tp_s0 = (window_s0(x[train_pos]) if score_from_window
                      else s0_sg[train_pos])                # [P]
             cand_ids, cand_valid, cand_dist = oversample_candidates_values(

@@ -567,8 +567,10 @@ def minor_dedup_threshold(rel: RelGraph, batch: jax.Array,
 
 
 # node-chunk width of the window-form full-graph SpMM: bounds the gathered
-# [C, D, F] block to C*D*F*4 bytes (~50 MB at yelp scale)
-SPMM_NODE_CHUNK = 2048
+# [C, D, F] block (~25 MB at yelp scale).  Swept on v5e (yelp-like, E=6.8M):
+# 1024 -> 29.3 ms, 2048 -> 46.0, 4096 -> 37.3, 8192 -> 63.1, unchunked ->
+# 67.5; 1024 runs at the pure row-gather bound (~330M rows/s).
+SPMM_NODE_CHUNK = 1024
 
 
 def segment_mean_spmm(rel: RelGraph, features: jax.Array,

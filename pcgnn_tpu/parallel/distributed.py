@@ -69,30 +69,44 @@ def init_distributed(coordinator_address: Optional[str] = None,
 # environments have no TPU flags), while LIBTPU_INIT_ARGS is read only by
 # libtpu on actual TPU hosts and is inert everywhere else.
 OVERLAP_LIBTPU_FLAGS = (
-    "--xla_tpu_enable_async_collective_fusion=true "
-    "--xla_tpu_enable_async_collective_fusion_fuse_all_gather=true "
-    "--xla_tpu_overlap_compute_collective_tc=true"
+    "--xla_tpu_enable_async_collective_fusion=true",
+    "--xla_tpu_enable_async_collective_fusion_fuse_all_gather=true",
+    "--xla_tpu_overlap_compute_collective_tc=true",
 )
 
 
+def _backend_initialized() -> bool:
+    """Best-effort init-order probe; jax keeps the backend cache in a
+    private dict whose name has moved across releases, so fall back to
+    'unknown = not initialized' rather than crash pod startup."""
+    try:
+        return bool(jax._src.xla_bridge._backends)  # noqa: SLF001
+    except AttributeError:
+        return False
+
+
 def enable_collective_overlap() -> None:
-    """Append :data:`OVERLAP_LIBTPU_FLAGS` to ``LIBTPU_INIT_ARGS``.
+    """Arm :data:`OVERLAP_LIBTPU_FLAGS` in ``LIBTPU_INIT_ARGS``.
 
     Must run before the first backend touch (libtpu reads the env at
     init); raises if a backend already exists so a silent no-op cannot
-    masquerade as overlap.  Harmless no-op on CPU/GPU hosts (the variable
-    is never read there).
+    masquerade as overlap.  Per-flag idempotent: a flag already present —
+    with ANY value, e.g. an operator's explicit ``=false`` A/B override —
+    is left untouched; only absent flags are appended.  Harmless no-op on
+    CPU/GPU hosts (the variable is never read there).
     """
     import os
 
-    if jax._src.xla_bridge._backends:  # noqa: SLF001 — init-order guard
+    if _backend_initialized():
         raise RuntimeError(
             "enable_collective_overlap() must be called before any jax "
             "backend initializes (import-time, like jax.distributed)")
     cur = os.environ.get("LIBTPU_INIT_ARGS", "")
-    if "xla_tpu_overlap_compute_collective_tc" not in cur:
-        os.environ["LIBTPU_INIT_ARGS"] = (
-            f"{cur} {OVERLAP_LIBTPU_FLAGS}".strip())
+    missing = [f for f in OVERLAP_LIBTPU_FLAGS
+               if f.split("=", 1)[0] not in cur]
+    if missing:
+        os.environ["LIBTPU_INIT_ARGS"] = " ".join(
+            ([cur] if cur else []) + missing)
 
 
 def make_multihost_mesh(graph: int = 1, *, data: Optional[int] = None) -> Mesh:

@@ -1,0 +1,90 @@
+"""Local multi-process launch harness, shared by the multi-host tests and
+benchmarks (``tests/test_multihost.py``, ``benchmarks/multihost_scaling.py``).
+
+Workers coordinate through ``jax.distributed`` collectives, so they are
+*interdependent*: one worker blocking makes every other worker block.  Two
+consequences shape this harness:
+
+  * stdout/stderr go to temp FILES, never ``subprocess.PIPE`` — a worker
+    that logs more than the pipe buffer before reaching its first
+    collective would stall, deadlocking the whole gang until timeout.
+  * on timeout or failure every worker is killed, not just reaped — an
+    orphaned survivor would hold the coordinator port (and, on real pods,
+    the TPU grant) indefinitely.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+import sys
+import tempfile
+from typing import List, Sequence
+
+
+def free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def cpu_worker_env() -> dict:
+    """Environment for CPU-mesh workers: pin the CPU platform and disarm
+    TPU-plugin sitecustomize hooks that would initialize a backend before
+    the worker can call ``jax.distributed.initialize``."""
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)          # workers set their own device count
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
+def run_workers(worker_path: str, per_worker_args: Sequence[Sequence[str]],
+                *, env: dict, timeout: float = 600.0) -> List[str]:
+    """Launch one process per args row, wait for ALL, return their logs.
+
+    Raises RuntimeError (with the tail of every log) if any worker exits
+    nonzero or the gang times out; all workers are killed on the way out.
+    """
+    procs, logs = [], []
+    for args in per_worker_args:
+        log = tempfile.NamedTemporaryFile(
+            mode="w+", suffix=".log", delete=False)
+        logs.append(log)
+        procs.append(subprocess.Popen(
+            [sys.executable, worker_path, *map(str, args)],
+            env=env, stdout=log, stderr=subprocess.STDOUT))
+    try:
+        for p in procs:
+            p.wait(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for p in procs:
+            p.wait()
+        raise RuntimeError(
+            "worker gang timed out:\n" + _tails(logs)) from None
+    texts = _read_all(logs)
+    if any(p.returncode != 0 for p in procs):
+        raise RuntimeError(
+            "worker failed:\n" + "\n---\n".join(t[-3000:] for t in texts))
+    return texts
+
+
+def _read_all(logs) -> List[str]:
+    out = []
+    for log in logs:
+        log.flush()
+        log.seek(0)
+        out.append(log.read())
+        log.close()
+        os.unlink(log.name)
+    return out
+
+
+def _tails(logs) -> str:
+    return "\n---\n".join(t[-2000:] for t in _read_all(logs))

@@ -4,12 +4,13 @@ SPMD loss on a ('dcn', 'data', 'graph') mesh — must equal the
 single-process single-device loss (VERDICT r1 'Next round' #4)."""
 
 import os
-import socket
 import subprocess
 import sys
 
 import numpy as np
 import pytest
+
+from pcgnn_tpu.utils.multiproc import cpu_worker_env, free_port, run_workers
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -62,47 +63,16 @@ with open(out, "w") as f:
 """
 
 
-def _free_port():
-    s = socket.socket()
-    s.bind(("localhost", 0))
-    port = s.getsockname()[1]
-    s.close()
-    return port
-
-
 @pytest.mark.slow
 def test_two_process_loss_matches_single_process(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER.format(repo=REPO))
-    port = _free_port()
+    port = free_port()
     nproc = 2
-    env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)  # workers set their own device count
-    # a TPU-plugin sitecustomize (if present, e.g. axon) initializes the
-    # XLA backend at interpreter startup — before the worker could call
-    # jax.distributed.initialize; disarm it and pin the CPU platform
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    env["JAX_PLATFORMS"] = "cpu"
-
-    procs, outs = [], []
-    for pid in range(nproc):
-        out = tmp_path / f"loss_{pid}.txt"
-        outs.append(out)
-        procs.append(subprocess.Popen(
-            [sys.executable, str(worker), str(pid), str(nproc), str(port),
-             str(out)],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
-    logs = []
-    for p in procs:
-        try:
-            stdout, _ = p.communicate(timeout=600)
-        except subprocess.TimeoutExpired:
-            p.kill()
-            stdout, _ = p.communicate()
-        logs.append(stdout.decode(errors="replace"))
-    for p, log in zip(procs, logs):
-        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
-
+    outs = [tmp_path / f"loss_{pid}.txt" for pid in range(nproc)]
+    run_workers(str(worker),
+                [(pid, nproc, port, str(outs[pid])) for pid in range(nproc)],
+                env=cpu_worker_env(), timeout=600)
     losses = [float(o.read_text()) for o in outs]
     assert losses[0] == losses[1], losses  # replicated output, same value
 
@@ -163,3 +133,24 @@ def test_enable_collective_overlap_sets_libtpu_args_in_fresh_process(tmp_path):
     out = subprocess.run([sys.executable, "-c", code], env=env,
                          capture_output=True, text=True, timeout=120)
     assert "OVERLAP-ENV-OK" in out.stdout, (out.stdout, out.stderr)
+
+
+def test_run_workers_failure_and_cleanup(tmp_path):
+    """A nonzero worker must raise with its log tail; a hung gang must be
+    killed (no orphans) on timeout."""
+    from pcgnn_tpu.utils import multiproc
+
+    bad = tmp_path / "bad.py"
+    bad.write_text("import sys; print('boom-marker'); sys.exit(3)\n")
+    with pytest.raises(RuntimeError, match="boom-marker"):
+        multiproc.run_workers(str(bad), [(0,), (1,)], env=dict(os.environ))
+
+    hang = tmp_path / "hang.py"
+    hang.write_text("import time, sys; print('hang-marker', flush=True); "
+                    "time.sleep(600)\n")
+    with pytest.raises(RuntimeError, match="timed out"):
+        multiproc.run_workers(str(hang), [(0,)], env=dict(os.environ),
+                              timeout=3)
+    # no orphaned python holding the hang script
+    out = subprocess.run(["pgrep", "-f", str(hang)], capture_output=True)
+    assert out.returncode != 0, "orphan worker survived timeout"
