@@ -27,7 +27,8 @@ import tempfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from pcgnn_tpu.utils.multiproc import cpu_worker_env, free_port, run_workers
+from pcgnn_tpu.utils.multiproc import (cpu_worker_env, gang_with_fresh_port,
+                                       run_workers)
 
 _WORKER = """
 import json, os, sys, time
@@ -94,12 +95,12 @@ def run_procs(nproc: int, args) -> dict:
     with open(worker, "w") as f:
         f.write(_WORKER.format(repo=REPO))
     out = os.path.join(tmp, "result.json")
-    port = free_port()
-    run_workers(worker,
-                [(pid, nproc, port, out, args.preset, args.steps,
-                  args.batch_per_data, args.devices_per_proc)
-                 for pid in range(nproc)],
-                env=cpu_worker_env(), timeout=900)
+    gang_with_fresh_port(lambda port: run_workers(
+        worker,
+        [(pid, nproc, port, out, args.preset, args.steps,
+          args.batch_per_data, args.devices_per_proc)
+         for pid in range(nproc)],
+        env=cpu_worker_env(), timeout=900))
     with open(out) as f:
         return json.load(f)
 
@@ -120,16 +121,20 @@ def main():
         n *= 2
     if ladder[-1] != args.procs:  # non-power-of-2: measure it too
         ladder.append(args.procs)
+    # weak_scaling_eff is computed against the first (1-process) run BEFORE
+    # each record is printed, so the streamed per-line records carry the
+    # same fields as the final summary
     results = []
+    base = None
     for n in ladder:
         rec = run_procs(n, args)
+        if base is None:
+            base = rec
+        rec["weak_scaling_eff"] = round(
+            (rec["rows_per_s"] / base["rows_per_s"])
+            / (rec["batch"] / base["batch"]), 3)
         results.append(rec)
         print(json.dumps(rec), flush=True)
-    base = results[0]
-    for r in results:
-        r["weak_scaling_eff"] = round(
-            (r["rows_per_s"] / base["rows_per_s"])
-            / (r["batch"] / base["batch"]), 3)
     print(json.dumps({"summary": [
         {k: r[k] for k in ("procs", "batch", "step_ms", "rows_per_s",
                            "weak_scaling_eff")} for r in results]}))

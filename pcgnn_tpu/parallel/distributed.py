@@ -76,13 +76,31 @@ OVERLAP_LIBTPU_FLAGS = (
 
 
 def _backend_initialized() -> bool:
-    """Best-effort init-order probe; jax keeps the backend cache in a
-    private dict whose name has moved across releases, so fall back to
-    'unknown = not initialized' rather than crash pod startup."""
-    try:
-        return bool(jax._src.xla_bridge._backends)  # noqa: SLF001
-    except AttributeError:
-        return False
+    """Best-effort init-order probe; jax keeps the backend cache in private
+    attributes whose names have moved across releases, so probe several and
+    degrade LOUDLY (warn) rather than silently assume 'not initialized' —
+    a wrong False here would let enable_collective_overlap set
+    LIBTPU_INIT_ARGS after libtpu already read the env (a silent no-op)."""
+    bridge = jax._src.xla_bridge  # noqa: SLF001
+    probed = False
+    for attr in ("_backends", "_default_backend"):
+        try:
+            val = getattr(bridge, attr)
+        except AttributeError:
+            continue
+        probed = True
+        if val:
+            return True
+    if not probed:
+        import warnings
+
+        warnings.warn(
+            "pcgnn_tpu.parallel.distributed: could not determine jax "
+            "backend init state (jax._src.xla_bridge internals moved); "
+            "assuming uninitialized — collective-overlap flags may be a "
+            "silent no-op if a backend already exists", RuntimeWarning,
+            stacklevel=3)
+    return False
 
 
 def enable_collective_overlap() -> None:
@@ -102,8 +120,12 @@ def enable_collective_overlap() -> None:
             "enable_collective_overlap() must be called before any jax "
             "backend initializes (import-time, like jax.distributed)")
     cur = os.environ.get("LIBTPU_INIT_ARGS", "")
+    # exact flag-name comparison, not substring: '--..._fusion' is a prefix
+    # of '--..._fusion_fuse_all_gather', so substring matching would treat
+    # the base flag as present whenever only the longer one was pre-set
+    present = {tok.split("=", 1)[0] for tok in cur.split()}
     missing = [f for f in OVERLAP_LIBTPU_FLAGS
-               if f.split("=", 1)[0] not in cur]
+               if f.split("=", 1)[0] not in present]
     if missing:
         os.environ["LIBTPU_INIT_ARGS"] = " ".join(
             ([cur] if cur else []) + missing)

@@ -308,6 +308,12 @@ class Trainer:
     def single_step(self, params, opt_state, batch, y, w):
         """(jitted_fn, full_args) for ONE training step — the profiling /
         roofline entry point (pairs with ``utils.roofline.measure``)."""
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "single_step is the single-chip roofline entry point; under "
+                "SPMD (num_devices > 1) the loss expects shard_batch-laid-"
+                "out inputs — profile via parallel.spmd.make_spmd_train_step "
+                "(see benchmarks/spmd_scaling.py) instead")
         key = jax.random.key(0)
         args = (params, opt_state, jnp.asarray(batch, jnp.int32),
                 jnp.asarray(y, jnp.int32), jnp.asarray(w, jnp.float32), key,

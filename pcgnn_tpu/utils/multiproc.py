@@ -24,11 +24,44 @@ from typing import List, Sequence
 
 
 def free_port() -> int:
+    """Pick a currently-free localhost port.
+
+    TOCTOU caveat: the port is released before the coordinator worker binds
+    it, so a concurrent process can steal it in between and the gang fails
+    with a coordinator-bind error.  Call sites that can rebuild their worker
+    args should go through :func:`gang_with_fresh_port`, which retries once
+    with a new port on exactly that failure signature.
+    """
     s = socket.socket()
     s.bind(("localhost", 0))
     port = s.getsockname()[1]
     s.close()
     return port
+
+
+# failure substrings that identify a coordinator-bind loss of the free_port
+# race (jax distributed service / gRPC wording)
+_BIND_ERROR_MARKERS = ("Address already in use", "Failed to bind",
+                       "bind failed", "errno: 98")
+
+
+def gang_with_fresh_port(launch, attempts: int = 2):
+    """Run ``launch(port)`` with a fresh free port, retrying on bind races.
+
+    ``launch`` builds the per-worker args around the port and calls
+    :func:`run_workers`; any RuntimeError whose text matches a
+    coordinator-bind failure triggers one retry with a new port (other
+    failures propagate immediately).
+    """
+    for attempt in range(attempts):
+        port = free_port()
+        try:
+            return launch(port)
+        except RuntimeError as e:
+            if (attempt + 1 < attempts
+                    and any(m in str(e) for m in _BIND_ERROR_MARKERS)):
+                continue
+            raise
 
 
 def cpu_worker_env() -> dict:

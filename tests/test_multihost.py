@@ -10,7 +10,8 @@ import sys
 import numpy as np
 import pytest
 
-from pcgnn_tpu.utils.multiproc import cpu_worker_env, free_port, run_workers
+from pcgnn_tpu.utils.multiproc import (cpu_worker_env, gang_with_fresh_port,
+                                       run_workers)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -67,12 +68,12 @@ with open(out, "w") as f:
 def test_two_process_loss_matches_single_process(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER.format(repo=REPO))
-    port = free_port()
     nproc = 2
     outs = [tmp_path / f"loss_{pid}.txt" for pid in range(nproc)]
-    run_workers(str(worker),
-                [(pid, nproc, port, str(outs[pid])) for pid in range(nproc)],
-                env=cpu_worker_env(), timeout=600)
+    gang_with_fresh_port(lambda port: run_workers(
+        str(worker),
+        [(pid, nproc, port, str(outs[pid])) for pid in range(nproc)],
+        env=cpu_worker_env(), timeout=600))
     losses = [float(o.read_text()) for o in outs]
     assert losses[0] == losses[1], losses  # replicated output, same value
 
@@ -133,6 +134,55 @@ def test_enable_collective_overlap_sets_libtpu_args_in_fresh_process(tmp_path):
     out = subprocess.run([sys.executable, "-c", code], env=env,
                          capture_output=True, text=True, timeout=120)
     assert "OVERLAP-ENV-OK" in out.stdout, (out.stdout, out.stderr)
+
+
+def test_enable_collective_overlap_prefix_flag_not_confused(tmp_path):
+    """Flag presence uses exact token names: pre-setting ONLY
+    '--..._fusion_fuse_all_gather' (whose name contains '--..._fusion' as a
+    prefix) must not suppress appending the base fusion flag."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os, sys; sys.path.insert(0, %r)\n"
+        "os.environ['LIBTPU_INIT_ARGS'] = ("
+        "'--xla_tpu_enable_async_collective_fusion_fuse_all_gather=false')\n"
+        "from pcgnn_tpu.parallel import distributed as d\n"
+        "d.enable_collective_overlap()\n"
+        "toks = os.environ['LIBTPU_INIT_ARGS'].split()\n"
+        "names = [t.split('=', 1)[0] for t in toks]\n"
+        "assert names.count("
+        "'--xla_tpu_enable_async_collective_fusion_fuse_all_gather') == 1\n"
+        "assert '--xla_tpu_enable_async_collective_fusion' in names\n"
+        "assert ('--xla_tpu_enable_async_collective_fusion_fuse_all_gather"
+        "=false') in toks  # operator override untouched\n"
+        "print('PREFIX-FLAG-OK')\n" % REPO)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("LIBTPU_INIT_ARGS", None)
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=120)
+    assert "PREFIX-FLAG-OK" in out.stdout, (out.stdout, out.stderr)
+
+
+def test_gang_with_fresh_port_retries_bind_race():
+    from pcgnn_tpu.utils import multiproc
+
+    calls = []
+
+    def launch(port):
+        calls.append(port)
+        if len(calls) == 1:
+            raise RuntimeError("coordinator: Address already in use")
+        return port
+
+    got = multiproc.gang_with_fresh_port(launch)
+    assert len(calls) == 2 and got == calls[1]
+
+    def launch_other(port):
+        raise RuntimeError("worker failed:\nsome real assertion")
+
+    with pytest.raises(RuntimeError, match="real assertion"):
+        multiproc.gang_with_fresh_port(launch_other)
 
 
 def test_run_workers_failure_and_cleanup(tmp_path):
