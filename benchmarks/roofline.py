@@ -79,6 +79,16 @@ def bench_relation_kernels(graph, batch_size: int):
     rows.append({"kernel": "window_gather", "shape": f"[{b},{d},{f+1}]",
                  **res})
 
+    if rel.ewin is not None:
+        # production path: one contiguous DMA per batch row from the
+        # edge-materialized store (ops.pallas.window_gather)
+        from pcgnn_tpu.ops.aggregate import batch_feature_window
+        bw = jax.jit(lambda rel, b_: batch_feature_window(rel, b_, f))
+        res = roofline.measure(bw, rel, batch,
+                               analytic_bytes=b * d * f * 4 * 2)
+        rows.append({"kernel": "window_gather_ewin",
+                     "shape": f"[{b},{d},{f}]", **res})
+
     dist = jnp.where(valid, jnp.abs(rng.standard_normal((b, d))).astype(
         jnp.float32), jnp.inf)
     keff = rel.keff[batch]
@@ -97,6 +107,15 @@ def bench_relation_kernels(graph, batch_size: int):
         res = roofline.measure(spmm_w, rel, feats, analytic_bytes=spmm_bytes)
         rows.append({"kernel": "spmm_window_form",
                      "shape": f"E={rel.num_edges} N={n} F={f}", **res})
+    if rel.ewin is not None:
+        # edge-window SpMM lowering: contiguous-DMA windows (the features
+        # MUST be the graph's own — the store snapshots them)
+        spmm_e = jax.jit(lambda rel, x: segment_mean_spmm(
+            rel, x, assume_ewin_features=True))
+        res = roofline.measure(spmm_e, rel, graph.features,
+                               analytic_bytes=spmm_bytes)
+        rows.append({"kernel": "spmm_ewin_form",
+                     "shape": f"E={rel.num_edges} N={n} F={f}", **res})
     # forced segment_sum lowering (the keep-filter path) for comparison
     keep_all = jnp.ones((e_pad,), bool)
     spmm_s = jax.jit(lambda rel, x, k: segment_mean_spmm(rel, x, keep=k))
@@ -114,6 +133,19 @@ def bench_relation_kernels(graph, batch_size: int):
         res = roofline.measure(sddmm_w, rel, s0,
                                analytic_bytes=nd * (4 + 4 + 4 + 1))
         rows.append({"kernel": "sddmm_window_form",
+                     "shape": f"E={rel.num_edges}", **res})
+    if rel.ewin is not None:
+        # edge-window SDDMM: neighbor scores contracted on the contiguous
+        # feature windows (the exact production schedule of choose)
+        from pcgnn_tpu.ops.sddmm import edge_abs_diff_window_ewin
+        w0 = jnp.asarray(rng.standard_normal((f,)), jnp.float32)
+        b0 = jnp.float32(0.1)
+        s0g = graph.features @ w0 + b0
+        sddmm_e = jax.jit(edge_abs_diff_window_ewin)
+        nd = n * max(int(rel.window_width), 1)
+        res = roofline.measure(sddmm_e, rel, s0g, w0, b0,
+                               analytic_bytes=nd * (f * 4 + 4 + 1))
+        rows.append({"kernel": "sddmm_ewin_form",
                      "shape": f"E={rel.num_edges}", **res})
     sddmm = jax.jit(edge_abs_diff)
     res = roofline.measure(sddmm, rel, s0,
@@ -186,7 +218,10 @@ def main():
 
     from pcgnn_tpu.data.synthetic import synthetic_fraud_graph
 
-    graph = synthetic_fraud_graph(args.preset, seed=2)
+    from pcgnn_tpu.graph.csr import materialize_edge_windows
+
+    graph = materialize_edge_windows(synthetic_fraud_graph(args.preset,
+                                                           seed=2))
     rows = bench_relation_kernels(graph, args.batch_size)
     rows.extend(bench_train_step(args.preset, args.batch_size,
                                  args.emb_size))

@@ -74,6 +74,25 @@ class RelGraph:
     # table fits the HBM budget (see ``_finalize``), else None and
     # ``batch_neighbor_window`` falls back to the CSR gather.
     nbr2d: jax.Array | None = None
+    # optional edge-materialized feature store (``attach_edge_windows``):
+    # the FROZEN node features laid out in CSR edge order, each node's run
+    # 1024-aligned, so a batch row's whole [dcap, F] feature window is ONE
+    # contiguous HBM block -> one DMA (ops.pallas.window_gather) instead of
+    # dcap scattered row fetches.  ``ewin`` is the flat [L] f32 store,
+    # ``estart`` the [N] int32 per-node element offsets, ``ewin_dp`` the
+    # static padded window length in elements (multiple of 1024).
+    ewin: jax.Array | None = None
+    estart: jax.Array | None = None
+    ewin_dp: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # feature width the store was built with (consumers assert against it:
+    # the store is a SNAPSHOT of the graph's frozen features)
+    ewin_f: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # packed per-node int32 metadata [N, 4] = (deg, keff, ksample, estart):
+    # a TPU gather pays a fixed dispatch cost regardless of row width, so
+    # the training step fetches all four per-relation columns in ONE row
+    # gather instead of four element gathers (profiled: the step spent
+    # ~0.6 ms/step in ~20 small gathers).  Built with the edge-window store.
+    meta: jax.Array | None = None
 
     @property
     def e_pad(self) -> int:
@@ -332,6 +351,129 @@ def build_multirel(
         features=jnp.asarray(np.asarray(features), dtype=jnp.float32),
         labels=jnp.asarray(np.asarray(labels), dtype=jnp.int32),
     )
+
+
+# edge-window feature-store HBM budget (bytes, per relation); stores above
+# this stay unmaterialized and consumers fall back to the scattered gather
+EWIN_BUDGET_BYTES = 2 * 1024 * 1024 * 1024
+
+
+def attach_edge_windows(rel: RelGraph, features: np.ndarray,
+                        *, budget_bytes: int = EWIN_BUDGET_BYTES) -> RelGraph:
+    """Materialize the relation's neighbor features in CSR edge order.
+
+    Valid ONLY for frozen feature tables (the reference's, and this
+    framework's: ``model_handler.py:86`` trains the embedding with
+    requires_grad=False) — the store is a copy and would go stale if
+    features were learned.  Each node's run holds its first
+    ``min(deg, dcap)`` neighbors' feature rows (the window lane's view;
+    hub tails stay in the CSR for ``ops.hub``), starting on a 1024-element
+    boundary so the Pallas window gather can DMA it without realignment.
+
+    Returns the relation unchanged when it is a stub, has no dense
+    neighbor table, or the store would exceed ``budget_bytes``.
+    """
+    if rel.is_stub or rel.nbr2d is None:
+        return rel
+    f = int(np.shape(features)[1])
+    d = max(rel.window_width, 1)
+    dp = _round_up(d * f, 1024)
+    deg = np.asarray(rel.deg)
+    degc = np.minimum(deg, d).astype(np.int64)
+    runs = _round_up_arr(degc * f, 1024)
+    estart = np.zeros(rel.num_nodes, dtype=np.int64)
+    np.cumsum(runs[:-1], out=estart[1:])
+    total = int(estart[-1] + runs[-1]) if rel.num_nodes else 0
+    # rounded to whole build chunks so the on-device assembly needs no
+    # final slice-copy of the multi-GB buffer
+    length = _round_up(total + dp + 1024, _EWIN_BUILD_CHUNK)
+    if length * 4 > budget_bytes:
+        return rel
+    estart_dev = jnp.asarray(estart, dtype=jnp.int32)
+    # The store is assembled ON DEVICE from buffers that are already
+    # device-resident (features, col, indptr): a host-side numpy build
+    # would push the multi-GB flat array through the host->device link —
+    # ~500 s through a tunneled TPU runtime at YelpChi scale, vs ~1 s of
+    # on-device element gathers here.
+    flat = _ewin_build(jnp.asarray(features, jnp.float32), rel.col,
+                       rel.indptr, estart_dev,
+                       jnp.asarray(degc, jnp.int32), f=f, length=length)
+    meta = np.stack([deg.astype(np.int32),
+                     np.asarray(rel.keff, np.int32),
+                     np.asarray(rel.ksample, np.int32),
+                     estart.astype(np.int32)], axis=1)
+    return dataclasses.replace(
+        rel,
+        ewin=flat,
+        estart=estart_dev,
+        ewin_dp=dp,
+        ewin_f=f,
+        meta=jnp.asarray(meta),
+    )
+
+
+# chunk width of the on-device store build (bounds per-chunk temporaries)
+_EWIN_BUILD_CHUNK = 4 * 1024 * 1024
+
+
+@jax.jit
+def _ewin_chunk(features, col, indptr, estart, degc, pos0):
+    """One [_EWIN_BUILD_CHUNK] block of the flat store: for each output
+    element position, locate its (node, slot, column) and gather the
+    feature value; alignment-padding positions get 0."""
+    f = features.shape[1]
+    pos = pos0 + jax.lax.broadcasted_iota(
+        jnp.int32, (_EWIN_BUILD_CHUNK, 1), 0)[:, 0]
+    v = jnp.searchsorted(estart, pos, side="right").astype(jnp.int32) - 1
+    v = jnp.clip(v, 0, estart.shape[0] - 1)
+    off = pos - estart[v]
+    slot = off // f
+    c = off - slot * f
+    valid = slot < degc[v]
+    src = col[jnp.where(valid, indptr[v] + slot, 0)]
+    vals = features[jnp.where(valid, src, 0), c]
+    return jnp.where(valid, vals, jnp.float32(0))
+
+
+def _ewin_build(features, col, indptr, estart, degc, *, f: int,
+                length: int) -> jax.Array:
+    ch = _EWIN_BUILD_CHUNK
+    assert length % ch == 0, length
+    nblk = length // ch
+
+    @jax.jit
+    def build(features, col, indptr, estart, degc):
+        starts = jnp.arange(nblk, dtype=jnp.int32) * ch
+        out = jax.lax.map(
+            lambda p0: _ewin_chunk(features, col, indptr, estart, degc, p0),
+            starts)
+        return out.reshape(length)
+
+    return build(features, col, indptr, estart, degc)
+
+
+def _round_up_arr(x: np.ndarray, m: int) -> np.ndarray:
+    return ((x + m - 1) // m) * m
+
+
+def materialize_edge_windows(
+        graph: MultiRelGraph, *,
+        budget_bytes: int = EWIN_BUDGET_BYTES) -> MultiRelGraph:
+    """Attach edge-window feature stores to every relation (and to the
+    homo graph, which the GraphSAGE/GCN baselines aggregate over) that
+    fits the per-relation HBM budget.  Must run AFTER any feature
+    transformation (e.g. the amazon row-normalize, ``model_handler.py:59``)
+    — the store snapshots the features."""
+    feats = np.asarray(graph.features)
+    rels = tuple(attach_edge_windows(r, feats, budget_bytes=budget_bytes)
+                 for r in graph.relations)
+    homo = graph.homo
+    shared = next((r for old, r in zip(graph.relations, rels)
+                   if old is graph.homo), None)
+    homo = shared if shared is not None else attach_edge_windows(
+        homo, feats, budget_bytes=budget_bytes)
+    return MultiRelGraph(relations=rels, homo=homo,
+                         features=graph.features, labels=graph.labels)
 
 
 def rel_threshold(threshold, r) -> float:

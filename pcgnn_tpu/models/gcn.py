@@ -14,12 +14,13 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from pcgnn_tpu.graph.csr import MultiRelGraph
 from pcgnn_tpu.models.initializers import xavier_uniform
+from pcgnn_tpu.models.lossfns import int_label_ce
 from pcgnn_tpu.ops.aggregate import (
     batch_neighbor_window,
+    self_union_feature_window,
     union_self_window,
     window_sum_from_gathered,
 )
@@ -43,16 +44,21 @@ class GCN:
 
     def _aggregate(self, graph: MultiRelGraph, batch: jax.Array, norm: str):
         rel = graph.homo
-        nbr, valid = batch_neighbor_window(rel, batch, allow_capped=True)
-        nbr, keep = union_self_window(nbr, valid, batch)  # src/graphsage.py:210
         x = graph.features
         x_padded = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)])
+        if rel.ewin is not None:
+            # contiguous-DMA feature window (graph.csr.attach_edge_windows)
+            xw, keep = self_union_feature_window(rel, batch, x)
+        else:
+            nbr, valid = batch_neighbor_window(rel, batch, allow_capped=True)
+            nbr, keep = union_self_window(nbr, valid, batch)  # graphsage.py:210
+            xw = x_padded[nbr]
         if rel.has_hubs:
             # rows above the window cap aggregate blockwise (ops.hub);
             # mask them out of the window lane (incl. the union-self column)
             is_hub = rel.deg[batch] > rel.window_width
             keep = keep & ~is_hub[:, None]
-        num, cnt = window_sum_from_gathered(x_padded[nbr], keep)
+        num, cnt = window_sum_from_gathered(xw, keep)
         if rel.has_hubs:
             h_num, h_cnt = hub_mean_sum(rel, batch, is_hub, x_padded,
                                         include_self=True)
@@ -79,7 +85,7 @@ class GCN:
     def loss(self, params, graph, batch, batch_labels,
              batch_weight: Optional[jax.Array] = None, **_):
         logits, _ = self.forward(params, graph, batch, batch_labels, train=True)
-        ce = optax.softmax_cross_entropy_with_integer_labels(logits, batch_labels)
+        ce = int_label_ce(logits, batch_labels)
         if batch_weight is None:
             batch_weight = jnp.ones_like(ce)
         return jnp.sum(ce * batch_weight) / jnp.maximum(jnp.sum(batch_weight), 1.0)

@@ -25,11 +25,12 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from pcgnn_tpu.graph.csr import MultiRelGraph
 from pcgnn_tpu.models.initializers import xavier_uniform
+from pcgnn_tpu.models.lossfns import int_label_ce
 from pcgnn_tpu.ops.aggregate import (
+    batch_feature_window,
     batch_neighbor_window,
     union_self_window,
     window_sum_from_gathered,
@@ -64,7 +65,20 @@ class GraphSage:
                 "FULL neighbor list (src/graphsage.py:70-76), which a "
                 "window-capped relation cannot expose; rebuild the graph "
                 "with window_cap disabled or drop num_sample.")
-        nbr, valid = batch_neighbor_window(rel, batch, allow_capped=True)
+        use_ewin = rel.ewin is not None
+        if use_ewin:
+            # contiguous-DMA feature window (graph.csr.attach_edge_windows);
+            # ids still come from the cheap [B]-row nbr2d gather (needed for
+            # the conditional self union below)
+            d_w = max(rel.window_width, 1)
+            degs = jnp.minimum(rel.deg[batch], d_w)
+            offs = jax.lax.broadcasted_iota(
+                jnp.int32, (batch.shape[0], d_w), 1)
+            valid = offs < degs[:, None]
+            nbr = rel.nbr2d[batch]
+            xw = batch_feature_window(rel, batch, graph.features.shape[1])
+        else:
+            nbr, valid = batch_neighbor_window(rel, batch, allow_capped=True)
         if self.num_sample is not None:
             # uniform subsample of rows larger than num_sample: random
             # per-slot priorities, keep the num_sample smallest valid ranks
@@ -76,14 +90,21 @@ class GraphSage:
             rank = jnp.argsort(jnp.argsort(pri, axis=1, stable=True), axis=1,
                                stable=True)
             valid = valid & (rank < self.num_sample)
-        if self.gcn_style:
-            nbr, valid = union_self_window(nbr, valid, batch)
         x = graph.features
         x_padded = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)])
+        if self.gcn_style:
+            if use_ewin:  # append the conditional self column to the window
+                present = jnp.any((nbr == batch[:, None]) & valid, axis=1)
+                xw = jnp.concatenate([xw, x[batch][:, None, :]], axis=1)
+                valid = jnp.concatenate([valid, ~present[:, None]], axis=1)
+            else:
+                nbr, valid = union_self_window(nbr, valid, batch)
+        if not use_ewin:
+            xw = x_padded[nbr]
         if rel.has_hubs:
             is_hub = rel.deg[batch] > rel.window_width
             valid = valid & ~is_hub[:, None]
-        num, cnt = window_sum_from_gathered(x_padded[nbr], valid)
+        num, cnt = window_sum_from_gathered(xw, valid)
         if rel.has_hubs:
             h_num, h_cnt = hub_mean_sum(rel, batch, is_hub, x_padded,
                                         include_self=self.gcn_style)
@@ -109,7 +130,7 @@ class GraphSage:
              key: Optional[jax.Array] = None, **_):
         logits, _ = self.forward(params, graph, batch, batch_labels,
                                  train=True, key=key)
-        ce = optax.softmax_cross_entropy_with_integer_labels(logits, batch_labels)
+        ce = int_label_ce(logits, batch_labels)
         if batch_weight is None:
             batch_weight = jnp.ones_like(ce)
         return jnp.sum(ce * batch_weight) / jnp.maximum(jnp.sum(batch_weight), 1.0)

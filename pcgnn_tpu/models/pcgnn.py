@@ -28,12 +28,13 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from pcgnn_tpu.graph.csr import MultiRelGraph
 from pcgnn_tpu.models.initializers import torch_linear, xavier_uniform
+from pcgnn_tpu.models.lossfns import int_label_ce
 from pcgnn_tpu.ops.aggregate import (
     _INF,
+    batch_feature_window,
     batch_neighbor_window,
     dedup_minor_keep,
     keep_nearest,
@@ -102,12 +103,25 @@ class PCGNN:
         train: bool,
         train_pos: Optional[jax.Array] = None,
         train_pos_valid: Optional[jax.Array] = None,
+        train_pos_feats: Optional[jax.Array] = None,
     ):
-        """Returns (gnn_logits [B, C], center_scores [B, C])."""
+        """Returns (gnn_logits [B, C], center_scores [B, C]).
+
+        ``train_pos_feats`` optionally supplies the pre-gathered
+        ``features[train_pos]`` rows ([P, F]) — they are constant for a run
+        (both the split and the feature table are frozen), so the trainer
+        hoists the gather out of the step.
+        """
         x = graph.features
         n = graph.num_nodes
         f = x.shape[1]
         clf = params["label_clf"]
+        # Edge-window mode: every relation carries the edge-materialized
+        # feature store (graph.csr.attach_edge_windows), so each window is
+        # ONE contiguous DMA (ops.aggregate.batch_feature_window) instead of
+        # a scattered [B, D]-row gather — the step's former bottleneck.
+        use_ewin = bool(graph.relations) and all(
+            rel.ewin is not None for rel in graph.relations)
         # Two score strategies with identical math (s = x·W_clf + b):
         #  * small graphs: ONE [N,F]x[F,2] matmul materializes every node's
         #    score; the score rides as an extra gathered feature column
@@ -116,7 +130,10 @@ class PCGNN:
         #  * large graphs (stress scale): per-step O(N) work dominates a
         #    B-sized batch step, so scores are computed lazily ON the
         #    gathered windows (O(B·D·F) instead of O(N·F) per step).
-        score_from_window = n >= SCORE_FROM_WINDOW_MIN_NODES
+        #  * edge-window mode gathers plain feature windows, so it always
+        #    scores on the window (same values: window rows are exact copies
+        #    of x rows, contracted with the same w0).
+        score_from_window = use_ewin or n >= SCORE_FROM_WINDOW_MIN_NODES
         # precision='highest': these two columns drive the choose *ranking*;
         # bf16 rounding here would perturb neighbor selection for ~free gain
         # stop_gradient on everything feeding selection: it is
@@ -179,26 +196,60 @@ class PCGNN:
             # relation's int(ksample*rho) request)
             m_max = self.minor_window(int(train_pos.shape[0]),
                                       graph.relations)
-            tp_s0 = (window_s0(x[train_pos]) if score_from_window
-                     else s0_sg[train_pos])                # [P]
+            if score_from_window:
+                tp_rows_f = (train_pos_feats if train_pos_feats is not None
+                             else x[train_pos])
+                tp_s0 = window_s0(tp_rows_f)               # [P]
+            else:
+                tp_s0 = s0_sg[train_pos]
             cand_ids, cand_valid, cand_dist = oversample_candidates_values(
                 center_s0, tp_s0, train_pos, train_pos_valid, m_max)
 
         rel_embs = []
         for r, rel in enumerate(graph.relations):
-            nbr, valid = batch_neighbor_window(rel, batch, allow_capped=True)
+            ksample_b = None
+            if use_ewin:
+                # contiguous-DMA feature window; ids (nbr) are only needed
+                # for the train-time minor dedup, via the cheap [B]-row
+                # nbr2d gather.  Slots past a row's degree hold the next
+                # node's run — masked by `valid` before any use.
+                d_w = max(rel.window_width, 1)
+                if rel.meta is not None:
+                    # ONE [B, 4] row gather for (deg, keff, ksample,
+                    # estart) — each element gather pays a fixed dispatch
+                    # cost on TPU, so four of them per relation dominated
+                    # the selection stage
+                    mrow = rel.meta[batch]
+                    deg_b, keff_b = mrow[:, 0], mrow[:, 1]
+                    ksample_b, starts_b = mrow[:, 2], mrow[:, 3]
+                else:
+                    deg_b, keff_b = rel.deg[batch], rel.keff[batch]
+                    starts_b = None
+                degs = jnp.minimum(deg_b, d_w)
+                offs = jax.lax.broadcasted_iota(
+                    jnp.int32, (batch.shape[0], d_w), 1)
+                valid = offs < degs[:, None]
+                nbr = rel.nbr2d[batch] if train else None
+                xw_feat = batch_feature_window(rel, batch, f,
+                                               starts=starts_b)
+            else:
+                nbr, valid = batch_neighbor_window(rel, batch,
+                                                   allow_capped=True)
+                deg_b, keff_b = rel.deg[batch], rel.keff[batch]
             if rel.has_hubs:
-                is_hub = rel.deg[batch] > rel.window_width
+                is_hub = deg_b > rel.window_width
                 valid = valid & ~is_hub[:, None]   # hubs leave the window lane
-            xw = xs[nbr]                                   # [B, D, fcols] rows
+            if not use_ewin:
+                xw = xs[nbr]                               # [B, D, fcols] rows
+                xw_feat = xw[..., :f]
             # choose: SDDMM distance on score channel 0 + exact ranks
             # (src/layers.py:655-672; keff folds keep-all-when-small)
-            nbr_s0 = (window_s0(xw[..., :f]) if score_from_window
+            nbr_s0 = (window_s0(xw_feat) if score_from_window
                       else xw[..., s0_col])
             d = jnp.abs(center_s0[:, None] - nbr_s0)
             d = jnp.where(valid, d, _INF)
-            keep = keep_nearest(d, rel.keff[batch], valid)
-            num, cnt = window_sum_from_gathered(xw[..., :f], keep)
+            keep = keep_nearest(d, keff_b, valid)
+            num, cnt = window_sum_from_gathered(xw_feat, keep)
             if rel.has_hubs:
                 thr = (minor_dedup_threshold(rel, batch, batch_labels,
                                              cand_valid, cand_dist, self.rho)
@@ -211,7 +262,8 @@ class PCGNN:
                 cnt = jnp.where(is_hub, h_cnt, cnt)
             if train:
                 keep_minor = oversample_keep(
-                    rel, batch, batch_labels, cand_valid, self.rho)
+                    rel, batch, batch_labels, cand_valid, self.rho,
+                    ksample_b=ksample_b)
                 # hub rows' window keep is empty, so this exact dedup is a
                 # no-op for them — their duplicates are subtracted inside
                 # the hub lane by distance instead
@@ -248,6 +300,7 @@ class PCGNN:
         *,
         train_pos: jax.Array,
         train_pos_valid: jax.Array,
+        train_pos_feats: Optional[jax.Array] = None,
     ) -> jax.Array:
         """Joint loss L_gnn + alpha * L_simi (``src/model.py:47-62``).
 
@@ -256,11 +309,10 @@ class PCGNN:
         """
         gnn_logits, center_scores = self.forward(
             params, graph, batch, batch_labels, train=True,
-            train_pos=train_pos, train_pos_valid=train_pos_valid)
-        ce_gnn = optax.softmax_cross_entropy_with_integer_labels(
-            gnn_logits, batch_labels)
-        ce_label = optax.softmax_cross_entropy_with_integer_labels(
-            center_scores, batch_labels)
+            train_pos=train_pos, train_pos_valid=train_pos_valid,
+            train_pos_feats=train_pos_feats)
+        ce_gnn = int_label_ce(gnn_logits, batch_labels)
+        ce_label = int_label_ce(center_scores, batch_labels)
         if batch_weight is None:
             batch_weight = jnp.ones_like(ce_gnn)
         denom = jnp.maximum(jnp.sum(batch_weight), 1.0)

@@ -123,23 +123,30 @@ _SUPPORTED: bool | None = None
 
 def available() -> bool:
     """True when the kernel compiles and runs on the current default backend
-    (checked once per process with a tiny instance)."""
+    (checked once per process with a tiny instance).
+
+    The probe is AOT (lower + compile + execute on concrete arrays): the
+    first call may come from inside a jit trace (the kernel is used under
+    lax loops), and an AOT executable can neither be staged into the
+    enclosing computation nor broken by it.  (The previous probe wrapped a
+    jitted call in ``ensure_compile_time_eval``, which *disables* jit and
+    traced the pallas kernel eagerly — failing on every backend and
+    silently losing the kernel.)
+    """
     global _SUPPORTED
     if _SUPPORTED is None:
         try:
-            # the first call may come from inside a jit trace (the kernel is
-            # used under lax loops); ensure_compile_time_eval keeps the probe
-            # EAGER — otherwise the probe pallas_call would be staged into
-            # the caller's computation and fail at lowering on CPU.
-            with jax.ensure_compile_time_eval():
-                col = jnp.arange(8192, dtype=jnp.int32)
-                starts = jnp.asarray([0, 17, 100, 1500, 3, 255, 129, 2000],
-                                     jnp.int32)
-                out = ragged_window_gather(col, starts, 128)
-                want = jnp.stack([jnp.arange(s, s + 128) for s in
-                                  [0, 17, 100, 1500, 3, 255, 129, 2000]])
-                _SUPPORTED = bool(
-                    (jax.device_get(out) == jax.device_get(want)).all())
+            import numpy as np
+            col = np.arange(8192, dtype=np.int32)
+            sts = [0, 17, 100, 1500, 3, 255, 129, 2000]
+            starts = np.asarray(sts, np.int32)
+            fn = functools.partial(ragged_window_gather, d_pad=128)
+            compiled = jax.jit(fn).lower(
+                jax.ShapeDtypeStruct(col.shape, col.dtype),
+                jax.ShapeDtypeStruct(starts.shape, starts.dtype)).compile()
+            out = np.asarray(jax.device_get(compiled(col, starts)))
+            want = np.stack([np.arange(s, s + 128) for s in sts])
+            _SUPPORTED = bool(np.array_equal(out, want))
         except Exception:
             _SUPPORTED = False
     return _SUPPORTED

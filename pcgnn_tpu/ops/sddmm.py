@@ -85,6 +85,43 @@ def edge_abs_diff_window(rel: RelGraph, s0: jax.Array):
     return (dist.reshape(nblk * c, d)[:n], valid.reshape(nblk * c, d)[:n])
 
 
+def edge_abs_diff_window_ewin(rel: RelGraph, s0: jax.Array, w0: jax.Array,
+                              b0: jax.Array):
+    """Edge-window lowering of :func:`edge_abs_diff_window`: neighbor scores
+    are contracted ON the contiguous-DMA feature windows
+    (``s_n = xw · w0 + b0`` — the exact schedule the PC-GNN training step
+    uses, ``models.pcgnn.PCGNN.forward``), removing the scattered score
+    gather entirely.  The caller asserts ``s0 == snapshot_features·w0 + b0``
+    (the store snapshots the graph's frozen features).
+
+    Returns (dist [N, D] f32 with +inf at invalid slots, valid [N, D]).
+    """
+    if rel.ewin is None:
+        raise ValueError("edge_abs_diff_window_ewin needs the edge-window "
+                         "store (graph.csr.attach_edge_windows)")
+    from pcgnn_tpu.ops.aggregate import batch_feature_window
+    n, d = rel.num_nodes, max(rel.window_width, 1)
+    f = rel.ewin_f
+    c = min(SDDMM_NODE_CHUNK, n)
+    nblk = -(-n // c)
+
+    def block(i0):
+        ids = i0 + jax.lax.broadcasted_iota(jnp.int32, (c, 1), 0)[:, 0]
+        ids = jnp.minimum(ids, n - 1)          # tail clamp; rows discarded
+        degs = jnp.minimum(rel.deg[ids], d)
+        offs = jax.lax.broadcasted_iota(jnp.int32, (c, d), 1)
+        valid = offs < degs[:, None]
+        xw = batch_feature_window(rel, ids, f)
+        nbr_s0 = jnp.dot(xw, w0, precision="highest",
+                         preferred_element_type=jnp.float32) + b0
+        dist = jnp.abs(s0[ids][:, None] - nbr_s0)
+        return jnp.where(valid, dist, jnp.inf), valid
+
+    starts = jnp.arange(nblk, dtype=jnp.int32) * c
+    dist, valid = jax.lax.map(block, starts)
+    return (dist.reshape(nblk * c, d)[:n], valid.reshape(nblk * c, d)[:n])
+
+
 def edge_ranks_global(rel: RelGraph, dist: jax.Array) -> jax.Array:
     """Per-edge ascending rank *within its CSR row*, computed with one global
     two-key sort (row, dist).  Exact; ties broken by edge order.

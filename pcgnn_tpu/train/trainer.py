@@ -76,6 +76,16 @@ class Trainer:
                                   features=jnp.asarray(feats),
                                   labels=graph.labels)
 
+        # edge-window feature stores (one contiguous DMA per window row;
+        # graph.csr.attach_edge_windows): materialized AFTER any feature
+        # transform, single-device only (the SPMD path shards relation
+        # structure itself, parallel.spmd).  Relations over the HBM budget
+        # keep the scattered-gather path transparently.
+        if (cfg.get("edge_windows", True)
+                and int(cfg.get("num_devices") or 1) == 1):
+            from pcgnn_tpu.graph.csr import materialize_edge_windows
+            graph = materialize_edge_windows(graph)
+
         self.graph = graph
         self.idx_train, self.idx_valid, self.idx_test = idx_train, idx_valid, idx_test
         self.y_train = y_train
@@ -188,7 +198,8 @@ class Trainer:
             if is_pcgnn:
                 return model.loss(params, graph, batch, batch_labels,
                                   batch_weight, train_pos=consts["tp"],
-                                  train_pos_valid=consts["tpv"])
+                                  train_pos_valid=consts["tpv"],
+                                  train_pos_feats=consts["tpf"])
             return model.loss(params, graph, batch, batch_labels,
                               batch_weight, key=key)
 
@@ -275,6 +286,10 @@ class Trainer:
             "pick_weights": self.pick_weights,
             "tp": self.train_pos_dev,
             "tpv": self.train_pos_valid,
+            # features[train_pos] is constant for the run (frozen features,
+            # fixed split): hoisting the gather out of the step removes a
+            # per-step [P]-row fetch
+            "tpf": self.graph.features[self.train_pos_dev],
         }
         # trim the jit graph argument to what the model consumes: PC-GNN
         # never touches homo inside the step (pick weights are precomputed

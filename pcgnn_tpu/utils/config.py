@@ -42,6 +42,11 @@ DEFAULTS = {
     # optional 'graph' axis size of the ('data','graph') mesh; default
     # factorization is parallel.mesh.factor_mesh(num_devices)
     "mesh_graph": None,
+    # edge-materialized feature windows (graph.csr.attach_edge_windows):
+    # one contiguous DMA per neighbor window instead of a scattered row
+    # gather.  Auto-disabled per relation over the HBM budget and under
+    # SPMD (num_devices > 1).
+    "edge_windows": True,
 }
 
 REQUIRED = ("data_name", "model")

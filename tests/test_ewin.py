@@ -1,0 +1,209 @@
+"""Edge-window feature store: build correctness, gather parity, and
+model-path equivalence with the scattered-gather lane.
+
+The store (``graph.csr.attach_edge_windows``) pre-materializes the frozen
+feature table in CSR edge order so each batch row's neighbor-feature window
+is one contiguous block (``ops.pallas.window_gather``).  Every consumer
+must produce EXACTLY the values of the legacy scattered path — the window
+rows are copies of the same feature rows, contracted in the same order.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pcgnn_tpu.data.synthetic import synthetic_fraud_graph
+from pcgnn_tpu.graph.csr import attach_edge_windows, materialize_edge_windows
+from pcgnn_tpu.models.gcn import GCN
+from pcgnn_tpu.models.graphsage import GraphSage
+from pcgnn_tpu.models.pcgnn import PCGNN
+from pcgnn_tpu.ops import aggregate as agg
+from pcgnn_tpu.ops import sddmm
+
+
+@pytest.fixture(scope="module")
+def graphs():
+    g = synthetic_fraud_graph("small", seed=3)
+    return g, materialize_edge_windows(g)
+
+
+def test_store_layout(graphs):
+    g, ge = graphs
+    feats = np.asarray(g.features)
+    for rel, rele in zip(g.relations, ge.relations):
+        assert rele.ewin is not None and rele.estart is not None
+        assert rele.ewin_dp % 1024 == 0
+        assert rele.ewin_f == feats.shape[1]
+        ewin = np.asarray(rele.ewin)
+        estart = np.asarray(rele.estart)
+        assert (estart % 1024 == 0).all()
+        indptr = np.asarray(rel.indptr)
+        col = np.asarray(rel.col)
+        d = rel.window_width
+        f = feats.shape[1]
+        rng = np.random.default_rng(0)
+        for v in rng.integers(0, rel.num_nodes, size=32):
+            dc = min(int(np.asarray(rel.deg)[v]), d)
+            got = ewin[estart[v]: estart[v] + dc * f].reshape(dc, f)
+            want = feats[col[indptr[v]: indptr[v] + dc]]
+            np.testing.assert_array_equal(got, want)
+
+
+def test_batch_feature_window_matches_row_gather(graphs):
+    g, ge = graphs
+    rng = np.random.default_rng(1)
+    batch = jnp.asarray(rng.integers(0, g.num_nodes, size=64), jnp.int32)
+    feats_pad = jnp.concatenate(
+        [g.features, jnp.zeros((1, g.feat_dim), jnp.float32)])
+    for rel in ge.relations:
+        xw = np.asarray(agg.batch_feature_window(rel, batch, g.feat_dim))
+        nbr, valid = agg.batch_neighbor_window(rel, batch)
+        want = np.asarray(feats_pad[nbr])
+        v = np.asarray(valid)
+        # garbage beyond each row's degree is allowed (next node's run);
+        # valid slots must match exactly
+        np.testing.assert_array_equal(xw[v], want[v])
+
+
+def test_feature_width_guard(graphs):
+    _, ge = graphs
+    batch = jnp.zeros((4,), jnp.int32)
+    with pytest.raises(ValueError, match="feature width"):
+        agg.batch_feature_window(ge.relations[0], batch, ge.feat_dim + 1)
+
+
+def test_budget_fallback():
+    g = synthetic_fraud_graph("tiny", seed=0)
+    rel = attach_edge_windows(g.relations[0], np.asarray(g.features),
+                              budget_bytes=16)
+    assert rel.ewin is None  # unchanged, consumers fall back transparently
+
+
+def test_pallas_interpret_matches_xla_fallback():
+    from pcgnn_tpu.ops.pallas import window_gather as wg
+    rng = np.random.default_rng(2)
+    ewin = jnp.asarray(rng.standard_normal(64 * 1024).astype(np.float32))
+    starts = jnp.asarray(
+        (rng.integers(0, 60, size=16) * 1024).astype(np.int32))
+    got = np.asarray(wg._gather(ewin, starts, 2048, interpret=True))
+    want = np.asarray(jax.vmap(
+        lambda s: jax.lax.dynamic_slice(ewin, (s,), (2048,)))(starts))
+    np.testing.assert_array_equal(got, want)
+
+
+def _pcgnn_setup(g):
+    model = PCGNN(feat_dim=g.feat_dim, emb_dim=32,
+                  num_relations=g.num_relations, alpha=2.0, rho=0.5)
+    params = model.init(jax.random.key(0))
+    labels = np.asarray(g.labels)
+    rng = np.random.default_rng(0)
+    batch = jnp.asarray(rng.integers(0, g.num_nodes, size=128), jnp.int32)
+    by = jnp.asarray(labels[np.asarray(batch)], jnp.int32)
+    tp = jnp.asarray(np.flatnonzero(labels == 1)[:100], jnp.int32)
+    tpv = jnp.ones(tp.shape, bool)
+    return model, params, batch, by, tp, tpv
+
+
+def test_pcgnn_forward_exact(graphs):
+    g, ge = graphs
+    model, params, batch, by, tp, tpv = _pcgnn_setup(g)
+    for train in (True, False):
+        a = model.forward(params, g, batch, by, train=train,
+                          train_pos=tp, train_pos_valid=tpv)
+        b = model.forward(params, ge, batch, by, train=train,
+                          train_pos=tp, train_pos_valid=tpv)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+def test_pcgnn_grads_close(graphs):
+    g, ge = graphs
+    model, params, batch, by, tp, tpv = _pcgnn_setup(g)
+
+    def grads(g_):
+        def loss(p):
+            return model.loss(p, g_, batch, by, train_pos=tp,
+                              train_pos_valid=tpv)
+        return jax.value_and_grad(loss)(params)
+
+    la, ga = grads(g)
+    lb, gb = grads(ge)
+    assert float(la) == float(lb)
+    for xa, xb in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                                   atol=5e-6, rtol=1e-5)
+
+
+def test_pcgnn_hub_lane_exact():
+    g = synthetic_fraud_graph("skew-tiny", seed=5)
+    assert any(r.has_hubs for r in g.relations)
+    ge = materialize_edge_windows(g)
+    model, params, batch, by, tp, tpv = _pcgnn_setup(g)
+    for train in (True, False):
+        a = model.forward(params, g, batch, by, train=train,
+                          train_pos=tp, train_pos_valid=tpv)
+        b = model.forward(params, ge, batch, by, train=train,
+                          train_pos=tp, train_pos_valid=tpv)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+
+def test_baselines_exact(graphs):
+    g, ge = graphs
+    rng = np.random.default_rng(4)
+    batch = jnp.asarray(rng.integers(0, g.num_nodes, size=96), jnp.int32)
+    for cls, kw in [(GCN, {}), (GraphSage, {}),
+                    (GraphSage, dict(num_sample=5))]:
+        m = cls(feat_dim=g.feat_dim, emb_dim=16, **kw)
+        p = m.init(jax.random.key(1))
+        a, _ = m.forward(p, g, batch, train=False, key=jax.random.key(7))
+        b, _ = m.forward(p, ge, batch, train=False, key=jax.random.key(7))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_spmm_ewin_form(graphs):
+    g, ge = graphs
+    for rel in ge.relations:
+        a = np.asarray(agg.segment_mean_spmm(rel, g.features))
+        b = np.asarray(agg.segment_mean_spmm(rel, g.features,
+                                             assume_ewin_features=True))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_sddmm_ewin_form(graphs):
+    g, ge = graphs
+    rng = np.random.default_rng(6)
+    w0 = jnp.asarray(rng.standard_normal(g.feat_dim).astype(np.float32))
+    b0 = jnp.float32(0.25)
+    s0 = jnp.dot(g.features, w0, precision="highest") + b0
+    for rel in ge.relations:
+        da, va = sddmm.edge_abs_diff_window(rel, s0)
+        db, vb = sddmm.edge_abs_diff_window_ewin(rel, s0, w0, b0)
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+        v = np.asarray(va)
+        # the ewin form contracts each window row with w0 independently,
+        # the table form contracts [N, F] once — same math, last-ulp
+        # differences scale with |s0|
+        np.testing.assert_allclose(np.asarray(da)[v], np.asarray(db)[v],
+                                   atol=1e-5)
+
+
+def test_trainer_end_to_end_matches():
+    """A short training run with edge windows on/off lands on identical
+    losses (the pick/shuffle streams are seed-deterministic and the step
+    math is exact-equal)."""
+    from pcgnn_tpu.train.trainer import Trainer
+    losses = {}
+    for ew in (True, False):
+        cfg = dict(seed=7, data_name="synthetic:tiny", model="PCGNN",
+                   train_ratio=0.4, test_ratio=0.67, emb_size=16, lr=0.01,
+                   weight_decay=0.001, alpha=2.0, rho=0.5, epochs=2,
+                   valid_epochs=10 ** 9, batch_size=64, patience=10 ** 9,
+                   exp_num=0, edge_windows=ew)
+        t = Trainer(cfg)
+        assert all((r.ewin is not None) == ew for r in t.graph.relations)
+        params = t.model.init(jax.random.key(0))
+        opt_state = t.tx.init(params)
+        _, _, loss = t.epoch_block_fn(params, opt_state, 0, 2)
+        losses[ew] = float(loss)
+    assert losses[True] == losses[False]
