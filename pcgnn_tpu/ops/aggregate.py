@@ -348,12 +348,19 @@ def oversample_candidates_values(
             [a[:nrows * c].reshape(nrows, c),
              a[c:nrows * c + c].reshape(nrows, c)], axis=1)
 
-    # scores and slots ride ONE packed row gather (slots bitcast through
-    # f32): each separate TPU gather pays a fixed dispatch cost
+    # scores, tie-break slots AND the train_pos ids all ride ONE packed row
+    # gather (int columns bitcast through f32): each separate TPU gather
+    # pays a fixed dispatch cost, and recovering ids afterwards with
+    # train_pos[slots_out] would be a [B, M] *element* gather — measured
+    # ~0.4 ms at B=1024 (element gathers run ~1e8 elem/s on v5e; wide row
+    # gathers are ~100x faster per fetched byte)
+    tp_sorted = train_pos[slot_sorted]                      # [P] — tiny
+    tp_pad = jnp.pad(tp_sorted, (0, padw), constant_values=0)
+    as_f32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
     rows_packed = jnp.concatenate(
         [overlap_rows(sp_pad),
-         jax.lax.bitcast_convert_type(overlap_rows(slot_pad), jnp.float32)],
-        axis=1)                                             # [R, 4C]
+         as_f32(overlap_rows(slot_pad)),
+         as_f32(overlap_rows(tp_pad))], axis=1)             # [R, 6C]
     b_sz = int(center.shape[0])
     # compare_all builds a fused [B, P] compare matrix — far cheaper than
     # the default 'scan' binary search (log P sequential tiny kernels) up
@@ -361,19 +368,24 @@ def oversample_candidates_values(
     method = "compare_all" if p * b_sz <= 8_000_000 else "scan"
     pos = jnp.searchsorted(sp_sorted, center, method=method)  # [B]
     r0 = jnp.clip((pos - m_max) // c, 0, nrows - 1)         # [B]
-    win = rows_packed[r0]                                   # [B, 4C] row gather
+    win = rows_packed[r0]                                   # [B, 6C] row gather
     win_scores = win[:, : 2 * c]
-    win_slots = jax.lax.bitcast_convert_type(win[:, 2 * c:], jnp.int32)
+    win_slots = jax.lax.bitcast_convert_type(
+        win[:, 2 * c: 4 * c], jnp.int32)
+    win_tpids = jax.lax.bitcast_convert_type(win[:, 4 * c:], jnp.int32)
     d = jnp.abs(center[:, None] - win_scores)
     d = jnp.where(jnp.isfinite(win_scores), d, _INF)
     # lexicographic (distance, slot) sort reproduces the oracle's stable
     # tie order (equal distances can come from both sides of the center, so
-    # window order alone is NOT the slot order); take the m_max nearest
-    d_sorted, slots_out = jax.lax.sort((d, win_slots), num_keys=2)
+    # window order alone is NOT the slot order); take the m_max nearest.
+    # The ids are carried as a third sort operand instead of re-gathered.
+    d_sorted, _, tpids_out = jax.lax.sort((d, win_slots, win_tpids),
+                                          num_keys=2)
     d_sorted = d_sorted[:, :m_max]
-    slots_out = slots_out[:, :m_max]
     cand_valid = jnp.isfinite(d_sorted)
-    cand_ids = train_pos[jnp.where(cand_valid, slots_out, 0)]
+    # invalid slots carry id 0 (in bounds; every consumer masks on
+    # cand_valid / keep_minor before use)
+    cand_ids = jnp.where(cand_valid, tpids_out[:, :m_max], 0)
     return cand_ids, cand_valid, d_sorted
 
 
