@@ -134,6 +134,14 @@ class MultiRelGraph:
     homo: RelGraph
     features: jax.Array  # [N, F] float32
     labels: jax.Array    # [N] int32
+    # optional packed per-node batch-constant table (``_build_node_pack``):
+    # [N, F + 4R + sum_r D_r] f32 with the per-relation (deg, keff, ksample,
+    # estart) metadata and nbr2d neighbor-id columns bitcast through f32.
+    # A TPU row gather pays a fixed ~16 us dispatch cost, so the training
+    # step fetches self features + all relations' metadata + all neighbor
+    # ids in ONE gather instead of 1 + 4R of them.  Column layout is derived
+    # from the relations' static widths (models.pcgnn.forward).
+    node_pack: jax.Array | None = None
 
     @property
     def num_nodes(self) -> int:
@@ -473,7 +481,22 @@ def materialize_edge_windows(
     homo = shared if shared is not None else attach_edge_windows(
         homo, feats, budget_bytes=budget_bytes)
     return MultiRelGraph(relations=rels, homo=homo,
-                         features=graph.features, labels=graph.labels)
+                         features=graph.features, labels=graph.labels,
+                         node_pack=_build_node_pack(rels, graph.features))
+
+
+def _build_node_pack(rels, features: jax.Array) -> jax.Array | None:
+    """[N, F + 4R + sum D_r] packed batch-constant table (see
+    ``MultiRelGraph.node_pack``), assembled ON DEVICE from the
+    already-resident pieces (int columns bitcast through f32 — gathers
+    move bits verbatim, consumers bitcast back)."""
+    if not rels or any(r.meta is None or r.nbr2d is None for r in rels):
+        return None
+    as_f32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+    cols = [features]
+    cols += [as_f32(r.meta) for r in rels]
+    cols += [as_f32(r.nbr2d) for r in rels]
+    return jnp.concatenate(cols, axis=1)
 
 
 def rel_threshold(threshold, r) -> float:

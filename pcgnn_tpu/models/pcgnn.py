@@ -143,7 +143,22 @@ class PCGNN:
         w0 = jax.lax.stop_gradient(clf["w"][:, 0])
         b0 = jax.lax.stop_gradient(clf["b"][0])
 
-        self_feats = x[batch]                              # [B, F]
+        # packed batch constants: self features + every relation's
+        # (deg, keff, ksample, estart) + neighbor ids in ONE row gather
+        # (graph.csr._build_node_pack) — each separate gather pays a fixed
+        # dispatch cost on TPU
+        use_pack = use_ewin and graph.node_pack is not None
+        if use_pack:
+            prow = graph.node_pack[batch]                  # [B, C]
+            self_feats = prow[:, :f]
+            meta_off = f
+            nbr_off = f + 4 * len(graph.relations)
+            nbr_offs = []
+            for rel in graph.relations:
+                nbr_offs.append(nbr_off)
+                nbr_off += max(rel.window_width, 1)
+        else:
+            self_feats = x[batch]                          # [B, F]
 
         def window_s0(xw_rows):
             """Score channel 0 of gathered feature rows ([..., F] -> [...])."""
@@ -214,7 +229,16 @@ class PCGNN:
                 # nbr2d gather.  Slots past a row's degree hold the next
                 # node's run — masked by `valid` before any use.
                 d_w = max(rel.window_width, 1)
-                if rel.meta is not None:
+                if use_pack:
+                    mrow = jax.lax.bitcast_convert_type(
+                        prow[:, meta_off + 4 * r: meta_off + 4 * r + 4],
+                        jnp.int32)
+                    deg_b, keff_b = mrow[:, 0], mrow[:, 1]
+                    ksample_b, starts_b = mrow[:, 2], mrow[:, 3]
+                    nbr = (jax.lax.bitcast_convert_type(
+                        prow[:, nbr_offs[r]: nbr_offs[r] + d_w], jnp.int32)
+                        if train else None)
+                elif rel.meta is not None:
                     # ONE [B, 4] row gather for (deg, keff, ksample,
                     # estart) — each element gather pays a fixed dispatch
                     # cost on TPU, so four of them per relation dominated
@@ -222,14 +246,15 @@ class PCGNN:
                     mrow = rel.meta[batch]
                     deg_b, keff_b = mrow[:, 0], mrow[:, 1]
                     ksample_b, starts_b = mrow[:, 2], mrow[:, 3]
+                    nbr = rel.nbr2d[batch] if train else None
                 else:
                     deg_b, keff_b = rel.deg[batch], rel.keff[batch]
                     starts_b = None
+                    nbr = rel.nbr2d[batch] if train else None
                 degs = jnp.minimum(deg_b, d_w)
                 offs = jax.lax.broadcasted_iota(
                     jnp.int32, (batch.shape[0], d_w), 1)
                 valid = offs < degs[:, None]
-                nbr = rel.nbr2d[batch] if train else None
                 xw_feat = batch_feature_window(rel, batch, f,
                                                starts=starts_b)
             else:
