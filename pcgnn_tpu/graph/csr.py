@@ -23,7 +23,9 @@ All arrays are ``jnp`` on device; construction helpers take numpy/scipy.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
+import warnings
 from typing import Sequence
 
 import jax
@@ -84,6 +86,13 @@ class RelGraph:
     ewin: jax.Array | None = None
     estart: jax.Array | None = None
     ewin_dp: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # True: per-node runs start on 1024-element boundaries (DMA-direct
+    # kernel).  False: exact packing, realigned in registers by the shift
+    # kernel — chosen at build time when alignment padding would waste
+    # >25% of the store (low-degree graphs: stress presets' mean run is
+    # about one alignment granule).
+    ewin_aligned: bool = dataclasses.field(default=True,
+                                           metadata=dict(static=True))
     # feature width the store was built with (consumers assert against it:
     # the store is a SNAPSHOT of the graph's frozen features)
     ewin_f: int = dataclasses.field(default=0, metadata=dict(static=True))
@@ -142,6 +151,10 @@ class MultiRelGraph:
     # ids in ONE gather instead of 1 + 4R of them.  Column layout is derived
     # from the relations' static widths (models.pcgnn.forward).
     node_pack: jax.Array | None = None
+    # optional sentinel-padded feature table [N+1, F] (zero row appended):
+    # concatenating it per step copies the WHOLE table (measured 1.6 ms at
+    # 1M nodes x 64 features); materialization precomputes it once.
+    features_pad: jax.Array | None = None
 
     @property
     def num_nodes(self) -> int:
@@ -361,9 +374,12 @@ def build_multirel(
     )
 
 
-# edge-window feature-store HBM budget (bytes, per relation); stores above
-# this stay unmaterialized and consumers fall back to the scattered gather
-EWIN_BUDGET_BYTES = 2 * 1024 * 1024 * 1024
+# edge-window feature-store HBM budgets (bytes): per single store, and
+# total across a graph's relations (materialize_edge_windows attaches
+# biggest-relations-first until the total is spent); relations left out
+# fall back to the scattered gather transparently
+EWIN_BUDGET_BYTES = 4 * 1024 * 1024 * 1024
+EWIN_TOTAL_BUDGET_BYTES = 6 * 1024 * 1024 * 1024
 
 
 def attach_edge_windows(rel: RelGraph, features: np.ndarray,
@@ -388,24 +404,49 @@ def attach_edge_windows(rel: RelGraph, features: np.ndarray,
     dp = _round_up(d * f, 1024)
     deg = np.asarray(rel.deg)
     degc = np.minimum(deg, d).astype(np.int64)
-    runs = _round_up_arr(degc * f, 1024)
-    estart = np.zeros(rel.num_nodes, dtype=np.int64)
-    np.cumsum(runs[:-1], out=estart[1:])
-    total = int(estart[-1] + runs[-1]) if rel.num_nodes else 0
-    # rounded to whole build chunks so the on-device assembly needs no
-    # final slice-copy of the multi-GB buffer
-    length = _round_up(total + dp + 1024, _EWIN_BUILD_CHUNK)
+    runs_exact = degc * f
+    runs_al = _round_up_arr(runs_exact, 1024)
+
+    def layout(runs):
+        estart = np.zeros(rel.num_nodes, dtype=np.int64)
+        np.cumsum(runs[:-1], out=estart[1:])
+        total = int(estart[-1] + runs[-1]) if rel.num_nodes else 0
+        # end slack covers the widest read of either kernel (the shift
+        # kernel DMAs the 1024-aligned superset span of the final window);
+        # rounded to whole build chunks so the on-device assembly needs no
+        # final slice-copy of the multi-GB buffer
+        return estart, _round_up(total + dp + 3072, _EWIN_BUILD_CHUNK)
+
+    # aligned when it fits: alignment padding costs only HBM capacity,
+    # while the unaligned shift kernel costs real read bandwidth + VPU
+    # rotates (~45% slower gathers) — it is purely the capacity fallback
+    # for low-degree stores whose padding would bust the budget (stress
+    # presets: mean run about one alignment granule -> 60%+ padding)
+    estart, length = layout(runs_al)
+    aligned = True
     if length * 4 > budget_bytes:
-        return rel
+        estart, length = layout(runs_exact)
+        aligned = False
+        if length * 4 > budget_bytes:
+            return rel
     estart_dev = jnp.asarray(estart, dtype=jnp.int32)
     # The store is assembled ON DEVICE from buffers that are already
     # device-resident (features, col, indptr): a host-side numpy build
     # would push the multi-GB flat array through the host->device link —
     # ~500 s through a tunneled TPU runtime at YelpChi scale, vs ~1 s of
-    # on-device element gathers here.
-    flat = _ewin_build(jnp.asarray(features, jnp.float32), rel.col,
-                       rel.indptr, estart_dev,
-                       jnp.asarray(degc, jnp.int32), f=f, length=length)
+    # on-device element gathers here.  A build failure (e.g. a runtime
+    # worker crash at multi-GB scale) degrades to the scattered-gather
+    # lane instead of killing the trainer.
+    try:
+        flat = _ewin_build(jnp.asarray(features, jnp.float32), rel.col,
+                           rel.indptr, estart_dev,
+                           jnp.asarray(degc, jnp.int32), f=f, length=length)
+        jax.block_until_ready(flat)
+    except Exception as e:  # pragma: no cover - runtime-dependent
+        warnings.warn(
+            f"edge-window store build failed ({type(e).__name__}: {e}); "
+            f"relation keeps the scattered-gather path")
+        return rel
     meta = np.stack([deg.astype(np.int32),
                      np.asarray(rel.keff, np.int32),
                      np.asarray(rel.ksample, np.int32),
@@ -416,6 +457,7 @@ def attach_edge_windows(rel: RelGraph, features: np.ndarray,
         estart=estart_dev,
         ewin_dp=dp,
         ewin_f=f,
+        ewin_aligned=aligned,
         meta=jnp.asarray(meta),
     )
 
@@ -443,46 +485,86 @@ def _ewin_chunk(features, col, indptr, estart, degc, pos0):
     return jnp.where(valid, vals, jnp.float32(0))
 
 
+# chunks per build call: the store is assembled by a python loop of
+# donated in-place updates rather than one monolithic program — a single
+# program emitting the multi-GB buffer proved fragile on the tunneled
+# runtime at stress scale (worker crashes), and the loop also caps the
+# transient footprint at one super-chunk
+_EWIN_BUILD_SUPER = 32
+
+
+@functools.partial(jax.jit, donate_argnums=(0,),
+                   static_argnames=("nsub",))
+def _ewin_superchunk(buf, features, col, indptr, estart, degc, p0,
+                     nsub: int):
+    starts = p0 + jnp.arange(nsub, dtype=jnp.int32) * _EWIN_BUILD_CHUNK
+    blocks = jax.lax.map(
+        lambda s0: _ewin_chunk(features, col, indptr, estart, degc, s0),
+        starts)
+    return jax.lax.dynamic_update_slice(
+        buf, blocks.reshape(nsub * _EWIN_BUILD_CHUNK), (p0,))
+
+
 def _ewin_build(features, col, indptr, estart, degc, *, f: int,
                 length: int) -> jax.Array:
     ch = _EWIN_BUILD_CHUNK
     assert length % ch == 0, length
     nblk = length // ch
-
-    @jax.jit
-    def build(features, col, indptr, estart, degc):
-        starts = jnp.arange(nblk, dtype=jnp.int32) * ch
-        out = jax.lax.map(
-            lambda p0: _ewin_chunk(features, col, indptr, estart, degc, p0),
-            starts)
-        return out.reshape(length)
-
-    return build(features, col, indptr, estart, degc)
+    buf = jnp.zeros((length,), jnp.float32)
+    done = 0
+    while done < nblk:
+        nsub = min(_EWIN_BUILD_SUPER, nblk - done)
+        buf = _ewin_superchunk(buf, features, col, indptr, estart, degc,
+                               jnp.int32(done * ch), nsub)
+        done += nsub
+    return buf
 
 
 def _round_up_arr(x: np.ndarray, m: int) -> np.ndarray:
     return ((x + m - 1) // m) * m
 
 
+# sentinel-padded feature table budget: above this the per-step concat is
+# cheaper than doubling a multi-GB feature table's footprint
+FPAD_BUDGET_BYTES = 1536 * 1024 * 1024
+
+
 def materialize_edge_windows(
         graph: MultiRelGraph, *,
-        budget_bytes: int = EWIN_BUDGET_BYTES) -> MultiRelGraph:
-    """Attach edge-window feature stores to every relation (and to the
-    homo graph, which the GraphSAGE/GCN baselines aggregate over) that
-    fits the per-relation HBM budget.  Must run AFTER any feature
-    transformation (e.g. the amazon row-normalize, ``model_handler.py:59``)
-    — the store snapshots the features."""
+        budget_bytes: int = EWIN_BUDGET_BYTES,
+        total_budget_bytes: int = EWIN_TOTAL_BUDGET_BYTES) -> MultiRelGraph:
+    """Attach edge-window feature stores, biggest relations first (they
+    dominate step time), until the total HBM budget is spent; also the
+    homo graph (the GraphSAGE/GCN baselines aggregate over it), the packed
+    per-node batch-constant table and the sentinel-padded feature table.
+    Must run AFTER any feature transformation (e.g. the amazon
+    row-normalize, ``model_handler.py:59``) — the stores snapshot the
+    features."""
     feats = np.asarray(graph.features)
-    rels = tuple(attach_edge_windows(r, feats, budget_bytes=budget_bytes)
-                 for r in graph.relations)
+    remaining = total_budget_bytes
+    rels = list(graph.relations)
+    for i in sorted(range(len(rels)), key=lambda i: -rels[i].num_edges):
+        r2 = attach_edge_windows(rels[i], feats,
+                                 budget_bytes=min(budget_bytes, remaining))
+        if r2.ewin is not None:
+            remaining -= int(r2.ewin.size) * 4
+        rels[i] = r2
+    rels = tuple(rels)
     homo = graph.homo
     shared = next((r for old, r in zip(graph.relations, rels)
                    if old is graph.homo), None)
     homo = shared if shared is not None else attach_edge_windows(
-        homo, feats, budget_bytes=budget_bytes)
+        homo, feats, budget_bytes=min(budget_bytes, remaining))
+    fbytes = int(graph.features.size) * 4
+    fpad = None
+    if fbytes <= FPAD_BUDGET_BYTES:
+        fpad = jnp.concatenate(
+            [graph.features,
+             jnp.zeros((1, graph.features.shape[1]), graph.features.dtype)])
     return MultiRelGraph(relations=rels, homo=homo,
                          features=graph.features, labels=graph.labels,
-                         node_pack=_build_node_pack(rels, graph.features))
+                         node_pack=_build_node_pack(rels, graph.features),
+                         features_pad=fpad)
 
 
 def _build_node_pack(rels, features: jax.Array) -> jax.Array | None:

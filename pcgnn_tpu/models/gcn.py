@@ -45,7 +45,9 @@ class GCN:
     def _aggregate(self, graph: MultiRelGraph, batch: jax.Array, norm: str):
         rel = graph.homo
         x = graph.features
-        x_padded = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)])
+        x_padded = (graph.features_pad if graph.features_pad is not None
+                    else jnp.concatenate(
+                        [x, jnp.zeros((1, x.shape[1]), x.dtype)]))
         if rel.ewin is not None:
             # contiguous-DMA feature window (graph.csr.attach_edge_windows)
             xw, keep = self_union_feature_window(rel, batch, x)

@@ -91,7 +91,9 @@ class GraphSage:
                                stable=True)
             valid = valid & (rank < self.num_sample)
         x = graph.features
-        x_padded = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)])
+        x_padded = (graph.features_pad if graph.features_pad is not None
+                    else jnp.concatenate(
+                        [x, jnp.zeros((1, x.shape[1]), x.dtype)]))
         if self.gcn_style:
             if use_ewin:  # append the conditional self column to the window
                 present = jnp.any((nbr == batch[:, None]) & valid, axis=1)

@@ -116,10 +116,16 @@ class PCGNN:
         n = graph.num_nodes
         f = x.shape[1]
         clf = params["label_clf"]
-        # Edge-window mode: every relation carries the edge-materialized
-        # feature store (graph.csr.attach_edge_windows), so each window is
-        # ONE contiguous DMA (ops.aggregate.batch_feature_window) instead of
-        # a scattered [B, D]-row gather — the step's former bottleneck.
+        # Edge-window mode: a relation carrying the edge-materialized
+        # feature store (graph.csr.attach_edge_windows) gathers each window
+        # as ONE contiguous DMA (ops.aggregate.batch_feature_window) instead
+        # of a scattered [B, D]-row gather — the step's former bottleneck.
+        # All-relations coverage (the reference-scale case) also switches
+        # scoring to the window form; PARTIAL coverage (stress scale, where
+        # a relation's store can exceed the HBM budget) is honored per
+        # relation when the graph is already on the score-from-window
+        # strategy — both lanes then compute scores with the same
+        # contraction, so per-relation mixing changes nothing.
         use_ewin = bool(graph.relations) and all(
             rel.ewin is not None for rel in graph.relations)
         # Two score strategies with identical math (s = x·W_clf + b):
@@ -184,7 +190,7 @@ class PCGNN:
                 self_feats, clf["w"], precision="highest",
                 preferred_element_type=jnp.float32) + clf["b"]
             center_s0 = window_s0(self_feats)              # [B]
-            xs = jnp.concatenate([x] + extra, axis=1)
+            xs = None if not extra else jnp.concatenate([x] + extra, axis=1)
             s0_col = None
             tp_col = f if need_tp else None
         else:
@@ -201,9 +207,16 @@ class PCGNN:
             xs = jnp.concatenate([x, s0_sg[:, None]] + extra, axis=1)
             s0_col = f
             tp_col = f + 1 if need_tp else None
-        fcols = xs.shape[1]
-        xs = jnp.concatenate(
-            [xs, jnp.zeros((1, fcols), xs.dtype)])         # sentinel row N
+        if xs is None:
+            # no extra columns: use the precomputed sentinel-padded table
+            # when available — re-concatenating copies the WHOLE [N, F]
+            # table every step (1.6 ms at stress scale)
+            xs = (graph.features_pad if graph.features_pad is not None
+                  else jnp.concatenate([x, jnp.zeros((1, f), x.dtype)]))
+        else:
+            fcols = xs.shape[1]
+            xs = jnp.concatenate(
+                [xs, jnp.zeros((1, fcols), xs.dtype)])     # sentinel row N
 
         if train:
             # candidate ordering is relation-independent: sort once, keep the
@@ -223,7 +236,8 @@ class PCGNN:
         rel_embs = []
         for r, rel in enumerate(graph.relations):
             ksample_b = None
-            if use_ewin:
+            use_ew = rel.ewin is not None and score_from_window
+            if use_ew:
                 # contiguous-DMA feature window; ids (nbr) are only needed
                 # for the train-time minor dedup, via the cheap [B]-row
                 # nbr2d gather.  Slots past a row's degree hold the next
@@ -264,7 +278,7 @@ class PCGNN:
             if rel.has_hubs:
                 is_hub = deg_b > rel.window_width
                 valid = valid & ~is_hub[:, None]   # hubs leave the window lane
-            if not use_ewin:
+            if not use_ew:
                 xw = xs[nbr]                               # [B, D, fcols] rows
                 xw_feat = xw[..., :f]
             # choose: SDDMM distance on score channel 0 + exact ranks

@@ -129,7 +129,8 @@ def batch_feature_window(rel: RelGraph, batch: jax.Array,
     d = max(rel.window_width, 1)
     if starts is None:
         starts = rel.estart[batch]
-    raw = window_gather.window_gather(rel.ewin, starts, rel.ewin_dp)
+    raw = window_gather.window_gather(rel.ewin, starts, rel.ewin_dp,
+                                      aligned=rel.ewin_aligned)
     return raw[:, : d * f].reshape(batch.shape[0], d, f)
 
 

@@ -68,6 +68,83 @@ def _rows_for(dp: int) -> int:
     return min(rows, _MAX_ROWS)
 
 
+_SLOTS = 16  # in-flight DMA buffers of the unaligned (shift) kernel
+
+
+def _shift_kernel(starts_ref, ewin_hbm, out_ref, scratch, sems, *, rows,
+                  dp_rows, span):
+    """Unaligned variant: DMA the 1024-aligned superset of each window and
+    realign in registers.  Mosaic has no 1-D dynamic rotate, so the flat
+    shift by ``off = start % 1024`` decomposes over the (span/128, 128)
+    view into a sublane roll (off // 128), a lane roll (off % 128), and a
+    lane-index select between the two adjacent-sublane copies (the carry).
+    ~45% slower than the aligned kernel (benchmarks/gather_kernel_probe.py)
+    but needs NO per-node alignment padding — low-degree stores (stress
+    presets: mean run ~the alignment granule) would pay 60%+ HBM waste.
+    """
+    i = pl.program_id(0)
+    s_rows = span // _L
+
+    def get_dma(slot, r):
+        start = starts_ref[i * rows + r]
+        rstart = pl.multiple_of((start // _CH) * (_CH // _L), _CH // _L)
+        return pltpu.make_async_copy(
+            ewin_hbm.at[pl.ds(rstart, s_rows)],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    for r in range(min(_SLOTS - 1, rows)):
+        get_dma(r % _SLOTS, r).start()
+    for r in range(rows):
+        slot = r % _SLOTS
+        if r + _SLOTS - 1 < rows:
+            get_dma((r + _SLOTS - 1) % _SLOTS, r + _SLOTS - 1).start()
+        get_dma(slot, r).wait()
+        off = starts_ref[i * rows + r] % _CH
+        q, rm = off // _L, off % _L
+        buf = scratch[slot]                                # (s_rows, 128)
+        a = pltpu.roll(buf, (s_rows - q) % s_rows, 0)      # a[s] = buf[s+q]
+        b = pltpu.roll(buf, (s_rows - q - 1) % s_rows, 0)  # b[s] = buf[s+q+1]
+        a = pltpu.roll(a, (_L - rm) % _L, 1)
+        b = pltpu.roll(b, (_L - rm) % _L, 1)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (s_rows, _L), 1)
+        ext = jnp.where(lanes < (_L - rm), a, b)
+        out_ref[r, :, :] = ext[:dp_rows, :]
+
+
+@functools.partial(jax.jit, static_argnames=("dp", "interpret"))
+def _gather_shift(ewin: jax.Array, starts: jax.Array, dp: int,
+                  *, interpret: bool = False) -> jax.Array:
+    dp_rows = dp // _L
+    span = ((dp + _CH - 1) // _CH) * _CH + _CH
+    rows = _rows_for(dp)
+    b = starts.shape[0]
+    b_pad = ((b + rows - 1) // rows) * rows
+    if b_pad != b:
+        starts = jnp.concatenate(
+            [starts, jnp.zeros((b_pad - b,), starts.dtype)])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b_pad // rows,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((rows, dp_rows, _L), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((_SLOTS, span // _L, _L), jnp.float32),
+            pltpu.SemaphoreType.DMA((_SLOTS,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_shift_kernel, rows=rows, dp_rows=dp_rows,
+                          span=span),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b_pad, dp_rows, _L), ewin.dtype),
+        interpret=interpret,
+    )(starts, ewin.reshape(-1, _L))
+    return out[:b].reshape(b, dp)
+
+
 @functools.partial(jax.jit, static_argnames=("dp", "interpret"))
 def _gather(ewin: jax.Array, starts: jax.Array, dp: int,
             *, interpret: bool = False) -> jax.Array:
@@ -95,13 +172,17 @@ def _gather(ewin: jax.Array, starts: jax.Array, dp: int,
     return out[:b].reshape(b, dp)
 
 
-def window_gather(ewin: jax.Array, starts: jax.Array, dp: int) -> jax.Array:
+def window_gather(ewin: jax.Array, starts: jax.Array, dp: int,
+                  *, aligned: bool = True) -> jax.Array:
     """out[b, :] = ewin[starts[b] : starts[b] + dp] for each batch row.
 
     Args:
       ewin: [L] flat edge-feature store, L % 1024 == 0 and
-        L >= max(starts) + dp (``attach_edge_windows`` pads the tail).
-      starts: [B] int32 element offsets, each a multiple of 1024.
+        L >= align1024(max(starts)) + dp + 1024 (``attach_edge_windows``
+        pads the tail).
+      starts: [B] int32 element offsets; with ``aligned`` each must be a
+        multiple of 1024 (the DMA-direct kernel), otherwise arbitrary
+        (the shift kernel realigns in registers).
       dp: static window length in elements, multiple of 1024.
 
     Returns [B, dp] (ewin's dtype).  Falls back to XLA dynamic slices on
@@ -109,7 +190,7 @@ def window_gather(ewin: jax.Array, starts: jax.Array, dp: int) -> jax.Array:
     """
     assert dp % _CH == 0, dp
     if available():
-        return _gather(ewin, starts, dp)
+        return (_gather if aligned else _gather_shift)(ewin, starts, dp)
     return jax.vmap(
         lambda s: jax.lax.dynamic_slice(ewin, (s,), (dp,)))(starts)
 

@@ -14,6 +14,7 @@ selection rule (``src/model_handler.py:162-169``), patience early stop
 
 from __future__ import annotations
 
+import dataclasses
 import time
 from functools import partial
 from typing import Optional
@@ -304,12 +305,9 @@ class Trainer:
                 p, x_sharded, rel_shards, jnp.asarray(batch, jnp.int32),
                 consts["tp"], consts["tpv"])
         elif is_pcgnn and full.num_relations:
-            graph = MultiRelGraph(relations=full.relations,
-                                  homo=full.relations[0],
-                                  features=full.features, labels=full.labels)
+            graph = dataclasses.replace(full, homo=full.relations[0])
         elif not is_pcgnn:
-            graph = MultiRelGraph(relations=(), homo=full.homo,
-                                  features=full.features, labels=full.labels)
+            graph = dataclasses.replace(full, relations=(), node_pack=None)
         else:
             graph = full
         if not is_spmd:

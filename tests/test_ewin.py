@@ -37,7 +37,8 @@ def test_store_layout(graphs):
         assert rele.ewin_f == feats.shape[1]
         ewin = np.asarray(rele.ewin)
         estart = np.asarray(rele.estart)
-        assert (estart % 1024 == 0).all()
+        if rele.ewin_aligned:
+            assert (estart % 1024 == 0).all()
         indptr = np.asarray(rel.indptr)
         col = np.asarray(rel.col)
         d = rel.window_width
@@ -186,6 +187,70 @@ def test_sddmm_ewin_form(graphs):
         # differences scale with |s0|
         np.testing.assert_allclose(np.asarray(da)[v], np.asarray(db)[v],
                                    atol=1e-5)
+
+
+def test_pcgnn_mixed_coverage_exact(monkeypatch):
+    """Stress-scale graphs may materialize only SOME relations (per-relation
+    HBM budget): on the score-from-window strategy the ewin and scattered
+    lanes compute scores with the same contraction, so per-relation mixing
+    must be exact."""
+    import dataclasses
+
+    import pcgnn_tpu.models.pcgnn as pcgnn_mod
+    monkeypatch.setattr(pcgnn_mod, "SCORE_FROM_WINDOW_MIN_NODES", 0)
+    g = synthetic_fraud_graph("small", seed=3)
+    ge_full = materialize_edge_windows(g)
+    # strip relation 1's store -> mixed coverage, no node_pack
+    rels = list(ge_full.relations)
+    rels[1] = dataclasses.replace(rels[1], ewin=None, estart=None,
+                                  ewin_dp=0, ewin_f=0, meta=None)
+    ge = dataclasses.replace(ge_full, relations=tuple(rels), node_pack=None)
+    model, params, batch, by, tp, tpv = _pcgnn_setup(g)
+    for train in (True, False):
+        a = model.forward(params, g, batch, by, train=train,
+                          train_pos=tp, train_pos_valid=tpv)
+        b = model.forward(params, ge, batch, by, train=train,
+                          train_pos=tp, train_pos_valid=tpv)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+
+def test_unaligned_layout_exact():
+    """When the 1024-aligned layout busts the HBM budget but exact packing
+    fits, the store goes unaligned (shift kernel); values must not change."""
+    import dataclasses
+
+    g = synthetic_fraud_graph("small", seed=3)
+    feats = np.asarray(g.features)
+    rels = []
+    for rel in g.relations:
+        ra = attach_edge_windows(rel, feats)          # aligned (fits)
+        assert ra.ewin_aligned
+        # a budget below the aligned size forces the exact-packed fallback
+        ru = attach_edge_windows(rel, feats,
+                                 budget_bytes=int(ra.ewin.size) * 4 - 1)
+        assert ru.ewin is not None and not ru.ewin_aligned
+        rels.append(ru)
+    ge = dataclasses.replace(materialize_edge_windows(g),
+                             relations=tuple(rels), node_pack=None)
+    assert all(not r.ewin_aligned for r in ge.relations)
+    model, params, batch, by, tp, tpv = _pcgnn_setup(g)
+    for train in (True, False):
+        a = model.forward(params, g, batch, by, train=train,
+                          train_pos=tp, train_pos_valid=tpv)
+        b = model.forward(params, ge, batch, by, train=train,
+                          train_pos=tp, train_pos_valid=tpv)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+
+def test_shift_kernel_interpret_matches_xla_fallback():
+    from pcgnn_tpu.ops.pallas import window_gather as wg
+    rng = np.random.default_rng(3)
+    ewin = jnp.asarray(rng.standard_normal(64 * 1024).astype(np.float32))
+    starts = jnp.asarray(rng.integers(0, 50_000, size=16).astype(np.int32))
+    got = np.asarray(wg._gather_shift(ewin, starts, 2048, interpret=True))
+    want = np.asarray(jax.vmap(
+        lambda s: jax.lax.dynamic_slice(ewin, (s,), (2048,)))(starts))
+    np.testing.assert_array_equal(got, want)
 
 
 def test_trainer_end_to_end_matches():
