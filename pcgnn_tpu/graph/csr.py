@@ -96,6 +96,18 @@ class RelGraph:
     # feature width the store was built with (consumers assert against it:
     # the store is a SNAPSHOT of the graph's frozen features)
     ewin_f: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # LOGICAL stored row width: == ewin_f for float32 stores; bfloat16
+    # stores round it up to even (consumers slice the zero pad column back
+    # off).  0 = ewin_f.
+    ewin_fs: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # True: the store holds bfloat16 features PACKED two-per-f32-word
+    # (split-column packing: word j of a slot = (col j, col j + fs/2), so
+    # unpacking is two same-width bitcasts + one concat — no minor-dim-2
+    # interleave, which XLA would materialize at (8,128)-tile padding =
+    # 64x HBM).  ewin stays a physical f32 array and estart/ewin_dp are in
+    # PACKED WORDS, so every kernel/layout invariant is the f32 one.
+    ewin_packed: bool = dataclasses.field(default=False,
+                                          metadata=dict(static=True))
     # packed per-node int32 metadata [N, 4] = (deg, keff, ksample, estart):
     # a TPU gather pays a fixed dispatch cost regardless of row width, so
     # the training step fetches all four per-relation columns in ONE row
@@ -383,7 +395,8 @@ EWIN_TOTAL_BUDGET_BYTES = 6 * 1024 * 1024 * 1024
 
 
 def attach_edge_windows(rel: RelGraph, features: np.ndarray,
-                        *, budget_bytes: int = EWIN_BUDGET_BYTES) -> RelGraph:
+                        *, budget_bytes: int = EWIN_BUDGET_BYTES,
+                        dtype=jnp.float32) -> RelGraph:
     """Materialize the relation's neighbor features in CSR edge order.
 
     Valid ONLY for frozen feature tables (the reference's, and this
@@ -394,17 +407,37 @@ def attach_edge_windows(rel: RelGraph, features: np.ndarray,
     hub tails stay in the CSR for ``ops.hub``), starting on a 1024-element
     boundary so the Pallas window gather can DMA it without realignment.
 
+    ``dtype``: float32 (bit-exact vs the scattered path) or bfloat16.  The
+    step is window-gather-bound at reference scale (ROOFLINE_r02.json), so
+    a bfloat16 store halves the dominant HBM traffic; consumers upcast to
+    f32 right after the gather, so only the stored feature VALUES round —
+    every downstream accumulation stays f32.  Layout: the slot width
+    rounds to an even ``ewin_fs`` and each slot's bf16 values are PACKED
+    two-per-f32-word on the host (word j = columns (j, j + fs/2)); the
+    store is then a physical f32 array in packed-word units and the whole
+    f32 build/kernel/layout machinery runs unchanged.  Unpacking is two
+    same-width bitcasts + one concat (ops.aggregate.batch_feature_window)
+    — a narrowing bitcast/minor-dim-2 interleave would be (8,128)-tile
+    padded by XLA to 64x the HBM.
+
     Returns the relation unchanged when it is a stub, has no dense
     neighbor table, or the store would exceed ``budget_bytes``.
     """
     if rel.is_stub or rel.nbr2d is None:
         return rel
+    dtype = jnp.dtype(dtype)
+    if dtype not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+        raise ValueError(f"edge-window store dtype must be float32 or "
+                         f"bfloat16, got {dtype}")
+    packed = dtype == jnp.dtype(jnp.bfloat16)
     f = int(np.shape(features)[1])
+    fs = f + (f % 2) if packed else f     # logical slot width (even if bf16)
+    fw = fs // 2 if packed else fs        # slot width in stored f32 WORDS
     d = max(rel.window_width, 1)
-    dp = _round_up(d * f, 1024)
+    dp = _round_up(d * fw, 1024)
     deg = np.asarray(rel.deg)
     degc = np.minimum(deg, d).astype(np.int64)
-    runs_exact = degc * f
+    runs_exact = degc * fw
     runs_al = _round_up_arr(runs_exact, 1024)
 
     def layout(runs):
@@ -430,6 +463,9 @@ def attach_edge_windows(rel: RelGraph, features: np.ndarray,
         if length * 4 > budget_bytes:
             return rel
     estart_dev = jnp.asarray(estart, dtype=jnp.int32)
+    feats_np = np.asarray(features, np.float32)
+    if packed:
+        feats_np = _pack_bf16_pairs(feats_np, fs)     # [N, fw] packed words
     # The store is assembled ON DEVICE from buffers that are already
     # device-resident (features, col, indptr): a host-side numpy build
     # would push the multi-GB flat array through the host->device link —
@@ -438,9 +474,9 @@ def attach_edge_windows(rel: RelGraph, features: np.ndarray,
     # worker crash at multi-GB scale) degrades to the scattered-gather
     # lane instead of killing the trainer.
     try:
-        flat = _ewin_build(jnp.asarray(features, jnp.float32), rel.col,
+        flat = _ewin_build(jnp.asarray(feats_np), rel.col,
                            rel.indptr, estart_dev,
-                           jnp.asarray(degc, jnp.int32), f=f, length=length)
+                           jnp.asarray(degc, jnp.int32), f=fw, length=length)
         jax.block_until_ready(flat)
     except Exception as e:  # pragma: no cover - runtime-dependent
         warnings.warn(
@@ -457,9 +493,26 @@ def attach_edge_windows(rel: RelGraph, features: np.ndarray,
         estart=estart_dev,
         ewin_dp=dp,
         ewin_f=f,
+        ewin_fs=fs,
+        ewin_packed=packed,
         ewin_aligned=aligned,
         meta=jnp.asarray(meta),
     )
+
+
+def _pack_bf16_pairs(feats: np.ndarray, fs: int) -> np.ndarray:
+    """[N, F] f32 -> [N, fs/2] f32 words, each holding bf16(col j) in the
+    low 16 bits and bf16(col j + fs/2) in the high bits (round-to-nearest-
+    even, matching ``jnp.astype(bfloat16)``).  Split-column packing keeps
+    unpacking concat-shaped (see ``attach_edge_windows``)."""
+    import ml_dtypes
+    f = feats.shape[1]
+    if fs != f:
+        feats = np.pad(feats, ((0, 0), (0, fs - f)))
+    bits = feats.astype(ml_dtypes.bfloat16).view(np.uint16)
+    lo, hi = bits[:, : fs // 2], bits[:, fs // 2:]
+    words = lo.astype(np.uint32) | (hi.astype(np.uint32) << 16)
+    return words.view(np.float32)
 
 
 # chunk width of the on-device store build (bounds per-chunk temporaries)
@@ -470,7 +523,8 @@ _EWIN_BUILD_CHUNK = 4 * 1024 * 1024
 def _ewin_chunk(features, col, indptr, estart, degc, pos0):
     """One [_EWIN_BUILD_CHUNK] block of the flat store: for each output
     element position, locate its (node, slot, column) and gather the
-    feature value; alignment-padding positions get 0."""
+    feature value; alignment-padding positions get 0.  (bf16 stores pass
+    pre-packed f32 word tables — the build is dtype-oblivious.)"""
     f = features.shape[1]
     pos = pos0 + jax.lax.broadcasted_iota(
         jnp.int32, (_EWIN_BUILD_CHUNK, 1), 0)[:, 0]
@@ -532,29 +586,33 @@ FPAD_BUDGET_BYTES = 1536 * 1024 * 1024
 def materialize_edge_windows(
         graph: MultiRelGraph, *,
         budget_bytes: int = EWIN_BUDGET_BYTES,
-        total_budget_bytes: int = EWIN_TOTAL_BUDGET_BYTES) -> MultiRelGraph:
+        total_budget_bytes: int = EWIN_TOTAL_BUDGET_BYTES,
+        dtype=jnp.float32) -> MultiRelGraph:
     """Attach edge-window feature stores, biggest relations first (they
     dominate step time), until the total HBM budget is spent; also the
     homo graph (the GraphSAGE/GCN baselines aggregate over it), the packed
     per-node batch-constant table and the sentinel-padded feature table.
     Must run AFTER any feature transformation (e.g. the amazon
     row-normalize, ``model_handler.py:59``) — the stores snapshot the
-    features."""
+    features.  ``dtype``: see ``attach_edge_windows`` (bfloat16 halves the
+    step's dominant HBM traffic; the trainer defaults to it on TPU-first
+    grounds, config key ``ewin_dtype``)."""
     feats = np.asarray(graph.features)
     remaining = total_budget_bytes
     rels = list(graph.relations)
     for i in sorted(range(len(rels)), key=lambda i: -rels[i].num_edges):
         r2 = attach_edge_windows(rels[i], feats,
-                                 budget_bytes=min(budget_bytes, remaining))
+                                 budget_bytes=min(budget_bytes, remaining),
+                                 dtype=dtype)
         if r2.ewin is not None:
-            remaining -= int(r2.ewin.size) * 4
+            remaining -= int(r2.ewin.size) * r2.ewin.dtype.itemsize
         rels[i] = r2
     rels = tuple(rels)
     homo = graph.homo
     shared = next((r for old, r in zip(graph.relations, rels)
                    if old is graph.homo), None)
     homo = shared if shared is not None else attach_edge_windows(
-        homo, feats, budget_bytes=min(budget_bytes, remaining))
+        homo, feats, budget_bytes=min(budget_bytes, remaining), dtype=dtype)
     fbytes = int(graph.features.size) * 4
     fpad = None
     if fbytes <= FPAD_BUDGET_BYTES:

@@ -127,11 +127,26 @@ def batch_feature_window(rel: RelGraph, batch: jax.Array,
             f"(graph.csr.attach_edge_windows)")
     from pcgnn_tpu.ops.pallas import window_gather
     d = max(rel.window_width, 1)
+    b = batch.shape[0]
     if starts is None:
         starts = rel.estart[batch]
     raw = window_gather.window_gather(rel.ewin, starts, rel.ewin_dp,
                                       aligned=rel.ewin_aligned)
-    return raw[:, : d * f].reshape(batch.shape[0], d, f)
+    if rel.ewin_packed:
+        # bfloat16 store, two values per f32 word (split-column packing,
+        # graph.csr.attach_edge_windows) — half the HBM traffic of the f32
+        # store through the byte-identical kernel.  Unpack with same-width
+        # bitcasts only: a bf16 upcast is exactly "append 16 zero bits",
+        # so low half = word << 16, high half = word & 0xffff0000.  Only
+        # the stored feature VALUES round; downstream stays f32.
+        fs = rel.ewin_fs or f
+        w = raw[:, : d * (fs // 2)].reshape(b, d, fs // 2)
+        u = jax.lax.bitcast_convert_type(w, jnp.uint32)
+        lo = jax.lax.bitcast_convert_type(u << 16, jnp.float32)
+        hi = jax.lax.bitcast_convert_type(
+            u & jnp.uint32(0xFFFF0000), jnp.float32)
+        return jnp.concatenate([lo, hi], axis=-1)[..., :f]
+    return raw[:, : d * f].reshape(b, d, f)
 
 
 def self_union_feature_window(rel: RelGraph, batch: jax.Array,

@@ -85,7 +85,15 @@ class Trainer:
         if (cfg.get("edge_windows", True)
                 and int(cfg.get("num_devices") or 1) == 1):
             from pcgnn_tpu.graph.csr import materialize_edge_windows
-            graph = materialize_edge_windows(graph)
+            # bfloat16 store by default (TPU-first): the step is
+            # window-gather-bound, and halving the store's HBM traffic is
+            # the dominant lever; only the frozen feature VALUES round
+            # (accumulation stays f32).  ``ewin_dtype: "float32"`` restores
+            # bit-exact parity with the scattered-gather path.
+            graph = materialize_edge_windows(
+                graph, dtype={"bfloat16": jnp.bfloat16,
+                              "float32": jnp.float32}[
+                    cfg.get("ewin_dtype", "bfloat16")])
 
         self.graph = graph
         self.idx_train, self.idx_valid, self.idx_test = idx_train, idx_valid, idx_test

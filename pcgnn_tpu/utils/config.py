@@ -47,6 +47,10 @@ DEFAULTS = {
     # gather.  Auto-disabled per relation over the HBM budget and under
     # SPMD (num_devices > 1).
     "edge_windows": True,
+    # store dtype: "bfloat16" (default; halves the gather-bound step's HBM
+    # traffic — only the frozen feature values round, accumulation stays
+    # f32) or "float32" (bit-exact vs the scattered-gather path).
+    "ewin_dtype": "bfloat16",
 }
 
 REQUIRED = ("data_name", "model")

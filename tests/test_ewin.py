@@ -253,22 +253,121 @@ def test_shift_kernel_interpret_matches_xla_fallback():
     np.testing.assert_array_equal(got, want)
 
 
+def _trainer_cfg(**over):
+    cfg = dict(seed=7, data_name="synthetic:tiny", model="PCGNN",
+               train_ratio=0.4, test_ratio=0.67, emb_size=16, lr=0.01,
+               weight_decay=0.001, alpha=2.0, rho=0.5, epochs=2,
+               valid_epochs=10 ** 9, batch_size=64, patience=10 ** 9,
+               exp_num=0)
+    cfg.update(over)
+    return cfg
+
+
 def test_trainer_end_to_end_matches():
-    """A short training run with edge windows on/off lands on identical
-    losses (the pick/shuffle streams are seed-deterministic and the step
-    math is exact-equal)."""
+    """A short training run with float32 edge windows on/off lands on
+    identical losses (the pick/shuffle streams are seed-deterministic and
+    the f32 step math is exact-equal)."""
     from pcgnn_tpu.train.trainer import Trainer
     losses = {}
     for ew in (True, False):
-        cfg = dict(seed=7, data_name="synthetic:tiny", model="PCGNN",
-                   train_ratio=0.4, test_ratio=0.67, emb_size=16, lr=0.01,
-                   weight_decay=0.001, alpha=2.0, rho=0.5, epochs=2,
-                   valid_epochs=10 ** 9, batch_size=64, patience=10 ** 9,
-                   exp_num=0, edge_windows=ew)
-        t = Trainer(cfg)
+        t = Trainer(_trainer_cfg(edge_windows=ew, ewin_dtype="float32"))
         assert all((r.ewin is not None) == ew for r in t.graph.relations)
         params = t.model.init(jax.random.key(0))
         opt_state = t.tx.init(params)
         _, _, loss = t.epoch_block_fn(params, opt_state, 0, 2)
         losses[ew] = float(loss)
     assert losses[True] == losses[False]
+
+
+def test_bf16_store_layout_and_values():
+    """bfloat16 store (the trainer default): physically an f32 array of
+    packed words with the standard kernel invariants, and gathered windows
+    are EXACTLY bf16(features) upcast — the only rounding is the stored
+    value."""
+    g = synthetic_fraud_graph("small", seed=3)
+    ge = materialize_edge_windows(g, dtype=jnp.bfloat16)
+    feats = np.asarray(g.features)
+    f = feats.shape[1]
+    feats16 = np.asarray(
+        jnp.asarray(feats).astype(jnp.bfloat16).astype(jnp.float32))
+    feats16_pad = np.concatenate([feats16, np.zeros((1, f), np.float32)])
+    rng = np.random.default_rng(1)
+    batch = jnp.asarray(rng.integers(0, g.num_nodes, size=64), jnp.int32)
+    for rel in ge.relations:
+        assert rel.ewin is not None and rel.ewin_packed
+        assert rel.ewin.dtype == jnp.float32       # packed words
+        assert rel.ewin_dp % 1024 == 0
+        assert rel.ewin_fs % 2 == 0
+        if rel.ewin_aligned:
+            assert (np.asarray(rel.estart) % 1024 == 0).all()
+        xw = np.asarray(agg.batch_feature_window(rel, batch, f))
+        assert xw.dtype == np.float32 and xw.shape[2] == f
+        nbr, valid = agg.batch_neighbor_window(rel, batch)
+        want = feats16_pad[np.asarray(nbr)]
+        v = np.asarray(valid)
+        np.testing.assert_array_equal(xw[v], want[v])
+
+
+def test_bf16_odd_feature_width_pads_to_pairs():
+    """Odd feature widths round the STORED slot width up to even (whole f32
+    pairs); the pad column is sliced back off by the consumer."""
+    g = synthetic_fraud_graph("small", seed=3)
+    feats = np.asarray(g.features)
+    f_odd = feats.shape[1] - (1 - feats.shape[1] % 2)   # force odd
+    feats_odd = feats[:, :f_odd]
+    rel = attach_edge_windows(g.relations[0], feats_odd, dtype=jnp.bfloat16)
+    assert rel.ewin_f == f_odd and rel.ewin_fs == f_odd + 1
+    feats16 = np.asarray(
+        jnp.asarray(feats_odd).astype(jnp.bfloat16).astype(jnp.float32))
+    feats16_pad = np.concatenate(
+        [feats16, np.zeros((1, f_odd), np.float32)])
+    rng = np.random.default_rng(2)
+    batch = jnp.asarray(rng.integers(0, g.num_nodes, size=48), jnp.int32)
+    xw = np.asarray(agg.batch_feature_window(rel, batch, f_odd))
+    nbr, valid = agg.batch_neighbor_window(rel, batch)
+    v = np.asarray(valid)
+    np.testing.assert_array_equal(xw[v], feats16_pad[np.asarray(nbr)][v])
+
+
+def test_bf16_unaligned_layout_values():
+    """bf16 + budget-forced exact packing (shift-kernel lane): starts stay
+    even (whole f32 pairs) and gathered values are still exactly
+    bf16(features)."""
+    g = synthetic_fraud_graph("small", seed=3)
+    feats = np.asarray(g.features)
+    f = feats.shape[1]
+    feats16 = np.asarray(
+        jnp.asarray(feats).astype(jnp.bfloat16).astype(jnp.float32))
+    feats16_pad = np.concatenate([feats16, np.zeros((1, f), np.float32)])
+    rng = np.random.default_rng(3)
+    batch = jnp.asarray(rng.integers(0, g.num_nodes, size=48), jnp.int32)
+    for rel0 in g.relations:
+        ra = attach_edge_windows(rel0, feats, dtype=jnp.bfloat16)
+        ru = attach_edge_windows(rel0, feats, dtype=jnp.bfloat16,
+                                 budget_bytes=int(ra.ewin.size) * 4 - 1)
+        assert ru.ewin is not None and not ru.ewin_aligned
+        xw = np.asarray(agg.batch_feature_window(ru, batch, f))
+        nbr, valid = agg.batch_neighbor_window(ru, batch)
+        v = np.asarray(valid)
+        np.testing.assert_array_equal(xw[v], feats16_pad[np.asarray(nbr)][v])
+
+
+def test_trainer_bf16_default_trains_close():
+    """The trainer's default store dtype is bfloat16; training must stay
+    healthy and land near the f32 run (only the frozen feature values
+    round — accumulation and parameters stay f32)."""
+    from pcgnn_tpu.train.trainer import Trainer
+    losses = {}
+    for dt in ("bfloat16", "float32"):
+        t = Trainer(_trainer_cfg(ewin_dtype=dt) if dt != "bfloat16"
+                    else _trainer_cfg())          # default path
+        assert all(r.ewin is not None
+                   and r.ewin_packed == (dt == "bfloat16")
+                   for r in t.graph.relations)
+        params = t.model.init(jax.random.key(0))
+        opt_state = t.tx.init(params)
+        _, _, loss = t.epoch_block_fn(params, opt_state, 0, 2)
+        losses[dt] = float(loss)
+    assert np.isfinite(losses["bfloat16"])
+    np.testing.assert_allclose(losses["bfloat16"], losses["float32"],
+                               rtol=0.1)
