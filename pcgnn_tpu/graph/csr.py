@@ -410,8 +410,10 @@ def attach_edge_windows(rel: RelGraph, features: np.ndarray,
     ``dtype``: float32 (bit-exact vs the scattered path) or bfloat16.  The
     step is window-gather-bound at reference scale (ROOFLINE_r02.json), so
     a bfloat16 store halves the dominant HBM traffic; consumers upcast to
-    f32 right after the gather, so only the stored feature VALUES round —
-    every downstream accumulation stays f32.  Layout: the slot width
+    f32 right after the gather — the stored feature VALUES round, every
+    downstream accumulation stays f32, and the model rounds ALL selection
+    scoring through bf16 too so the choose ranking stays internally
+    consistent (models.pcgnn sel_round).  Layout: the slot width
     rounds to an even ``ewin_fs`` and each slot's bf16 values are PACKED
     two-per-f32-word on the host (word j = columns (j, j + fs/2)); the
     store is then a physical f32 array in packed-word units and the whole
@@ -505,7 +507,12 @@ def _pack_bf16_pairs(feats: np.ndarray, fs: int) -> np.ndarray:
     low 16 bits and bf16(col j + fs/2) in the high bits (round-to-nearest-
     even, matching ``jnp.astype(bfloat16)``).  Split-column packing keeps
     unpacking concat-shaped (see ``attach_edge_windows``)."""
+    import sys
+
     import ml_dtypes
+    # the device-side unpack ('<<16' = low half) assumes little-endian host
+    # words; a big-endian host would silently swap the halves
+    assert sys.byteorder == "little", "bf16 packing requires a little-endian host"
     f = feats.shape[1]
     if fs != f:
         feats = np.pad(feats, ((0, 0), (0, fs - f)))

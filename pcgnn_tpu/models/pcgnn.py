@@ -140,6 +140,18 @@ class PCGNN:
         #    scores on the window (same values: window rows are exact copies
         #    of x rows, contracted with the same w0).
         score_from_window = use_ewin or n >= SCORE_FROM_WINDOW_MIN_NODES
+        # bfloat16 (packed) stores round the stored neighbor VALUES; for the
+        # choose *ranking* to stay internally consistent (a self-loop's
+        # distance exactly 0, hub and window rows of one relation scored at
+        # the same precision), every selection score is then computed on the
+        # bf16-rounded feature snapshot: center, candidate, hub-tail and
+        # non-store window rows all round through bf16 before the s0
+        # contraction.  Only selection rounds — self_feats/center_scores
+        # (the loss path) and all aggregation values stay exact f32.
+        packed_sel = use_ewin and any(
+            rel.ewin_packed for rel in graph.relations)
+        sel_round = ((lambda a: a.astype(jnp.bfloat16).astype(jnp.float32))
+                     if packed_sel else (lambda a: a))
         # precision='highest': these two columns drive the choose *ranking*;
         # bf16 rounding here would perturb neighbor selection for ~free gain
         # stop_gradient on everything feeding selection: it is
@@ -185,11 +197,12 @@ class PCGNN:
         if score_from_window:
             # gather plain features; scores computed on the window.  center,
             # neighbor and candidate scores all use the same [..., F]·w0
-            # contraction so a self-loop's distance stays (near-)zero.
+            # contraction — on the bf16-rounded snapshot for packed stores
+            # (``sel_round``) — so a self-loop's distance stays exactly zero.
             center_scores = jnp.dot(
                 self_feats, clf["w"], precision="highest",
                 preferred_element_type=jnp.float32) + clf["b"]
-            center_s0 = window_s0(self_feats)              # [B]
+            center_s0 = window_s0(sel_round(self_feats))   # [B]
             xs = None if not extra else jnp.concatenate([x] + extra, axis=1)
             s0_col = None
             tp_col = f if need_tp else None
@@ -227,7 +240,7 @@ class PCGNN:
             if score_from_window:
                 tp_rows_f = (train_pos_feats if train_pos_feats is not None
                              else x[train_pos])
-                tp_s0 = window_s0(tp_rows_f)               # [P]
+                tp_s0 = window_s0(sel_round(tp_rows_f))    # [P]
             else:
                 tp_s0 = s0_sg[train_pos]
             cand_ids, cand_valid, cand_dist = oversample_candidates_values(
@@ -283,7 +296,10 @@ class PCGNN:
                 xw_feat = xw[..., :f]
             # choose: SDDMM distance on score channel 0 + exact ranks
             # (src/layers.py:655-672; keff folds keep-all-when-small)
-            nbr_s0 = (window_s0(xw_feat) if score_from_window
+            # packed-store windows already hold bf16 values, so sel_round is
+            # a value no-op there; it only actually rounds rows gathered
+            # from the exact table (store-less relations at stress scale)
+            nbr_s0 = (window_s0(sel_round(xw_feat)) if score_from_window
                       else xw[..., s0_col])
             d = jnp.abs(center_s0[:, None] - nbr_s0)
             d = jnp.where(valid, d, _INF)
@@ -295,7 +311,7 @@ class PCGNN:
                        if train else None)
                 h_num, h_cnt = hub_choose_sum(
                     rel, batch, is_hub, xs, f, center_s0,
-                    s0_col=s0_col, w0=w0, b0=b0,
+                    s0_col=s0_col, w0=w0, b0=b0, round_sel=packed_sel,
                     tp_col=tp_col if train else None, minor_thresh=thr)
                 num = jnp.where(is_hub[:, None], h_num, num)
                 cnt = jnp.where(is_hub, h_cnt, cnt)

@@ -132,14 +132,22 @@ def batch_feature_window(rel: RelGraph, batch: jax.Array,
         starts = rel.estart[batch]
     raw = window_gather.window_gather(rel.ewin, starts, rel.ewin_dp,
                                       aligned=rel.ewin_aligned)
-    if rel.ewin_packed:
-        # bfloat16 store, two values per f32 word (split-column packing,
-        # graph.csr.attach_edge_windows) — half the HBM traffic of the f32
-        # store through the byte-identical kernel.  Unpack with same-width
-        # bitcasts only: a bf16 upcast is exactly "append 16 zero bits",
-        # so low half = word << 16, high half = word & 0xffff0000.  Only
-        # the stored feature VALUES round; downstream stays f32.
-        fs = rel.ewin_fs or f
+    return unpack_window(raw, d, f, rel.ewin_fs, rel.ewin_packed)
+
+
+def unpack_window(raw: jax.Array, d: int, f: int, fs: int,
+                  packed: bool) -> jax.Array:
+    """[B, >=d*fw] flat gathered store rows -> [B, d, f] feature windows.
+
+    For packed (bfloat16) stores — two values per f32 word, split-column
+    packing (``graph.csr.attach_edge_windows``) — unpack with same-width
+    bitcasts only: a bf16 upcast is exactly "append 16 zero bits", so low
+    half = word << 16, high half = word & 0xffff0000.  Only the stored
+    feature VALUES round; downstream stays f32.
+    """
+    b = raw.shape[0]
+    if packed:
+        fs = fs or f
         w = raw[:, : d * (fs // 2)].reshape(b, d, fs // 2)
         u = jax.lax.bitcast_convert_type(w, jnp.uint32)
         lo = jax.lax.bitcast_convert_type(u << 16, jnp.float32)

@@ -52,21 +52,24 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _window_block(rel: RelGraph, starts: jax.Array, j: jax.Array,
+def _window_block(col: jax.Array, starts: jax.Array, j: jax.Array,
                   block: int) -> jax.Array:
-    """[H, block] neighbor ids from each row's CSR tail at offset j·block.
+    """[H, block] neighbor ids from each row's edge-list tail at offset
+    j·block of a flat ``col`` array (a relation CSR, or the sharded hub
+    edge store ``parallel.spmd``).
 
-    Rows are contiguous CSR runs, so the Pallas ragged gather turns this
-    into per-row DMAs; ``graph.csr._finalize`` pads the edge array so any
-    start <= num_edges + dmax stays in bounds.
+    Rows are contiguous runs, so the Pallas ragged gather turns this into
+    per-row DMAs; the edge array must be padded past any
+    start + roundup1024(block) + 1024 (``graph.csr._finalize`` guarantees
+    it for relation CSRs).
     """
     starts_j = starts + j * block
     from pcgnn_tpu.ops.pallas import ragged_gather
     if ragged_gather.available():
-        return ragged_gather.ragged_window_gather(rel.col, starts_j, block)
+        return ragged_gather.ragged_window_gather(col, starts_j, block)
     offs = jax.lax.broadcasted_iota(jnp.int32, (starts.shape[0], block), 1)
-    pos = jnp.clip(starts_j[:, None] + offs, 0, rel.col.shape[0] - 1)
-    return rel.col[pos]
+    pos = jnp.clip(starts_j[:, None] + offs, 0, col.shape[0] - 1)
+    return col[pos]
 
 
 def _run_hub_chunks(is_hub: jax.Array, chunk: int, f: int, dtype,
@@ -113,6 +116,7 @@ def hub_choose_sum(
     s0_col: Optional[int] = None,
     w0: Optional[jax.Array] = None,
     b0: Optional[jax.Array] = None,
+    round_sel: bool = False,
     tp_col: Optional[int] = None,
     minor_thresh: Optional[jax.Array] = None,
     chunk: int = HUB_CHUNK,
@@ -130,6 +134,10 @@ def hub_choose_sum(
       s0_col: column of ``xs`` holding each node's score (table path);
         None computes it as ``xs[..., :f] @ w0 + b0`` (window path) — the
         same contraction the window lane uses, so distances match exactly.
+      round_sel: round feature rows through bfloat16 before the score
+        contraction (packed-store graphs: the window lane ranks bf16-rounded
+        values, so hub rows of the same relation must too —
+        ``models.pcgnn`` sel_round).  Aggregation values stay exact.
       tp_col: column of ``xs`` holding the valid-train-positive indicator
         (train only); with ``minor_thresh`` ([B], from
         ``minor_dedup_threshold``) enables duplicate-minor subtraction.
@@ -155,14 +163,17 @@ def hub_choose_sum(
         jb = (jnp.max(deg) + block - 1) // block     # dynamic trip count
 
         def pass1(j, dist):
-            nbr = _window_block(rel, start, j, block)
+            nbr = _window_block(rel.col, start, j, block)
             offs = j * block + jnp.arange(block, dtype=jnp.int32)[None, :]
             v = offs < deg[:, None]
             xw = xs[nbr]
             if s0_col is not None:
                 s0n = xw[..., s0_col]
             else:
-                s0n = jnp.dot(xw[..., :f], w0, precision="highest",
+                rows_f = xw[..., :f]
+                if round_sel:
+                    rows_f = rows_f.astype(jnp.bfloat16).astype(jnp.float32)
+                s0n = jnp.dot(rows_f, w0, precision="highest",
                               preferred_element_type=jnp.float32) + b0
             d = jnp.where(v, jnp.abs(c_s0[:, None] - s0n), _INF)
             return jax.lax.dynamic_update_slice(dist, d, (0, j * block))
@@ -173,7 +184,7 @@ def hub_choose_sum(
 
         def pass2(j, acc):
             num, cnt = acc
-            nbr = _window_block(rel, start, j, block)
+            nbr = _window_block(rel.col, start, j, block)
             xw = xs[nbr]
             kb = jax.lax.dynamic_slice(keep, (0, j * block), (chunk, block))
             w = kb.astype(xs.dtype)
@@ -220,7 +231,7 @@ def hub_mean_sum(
 
         def body(j, acc):
             num, cnt, has_self = acc
-            nbr = _window_block(rel, start, j, block)
+            nbr = _window_block(rel.col, start, j, block)
             offs = j * block + jnp.arange(block, dtype=jnp.int32)[None, :]
             v = offs < deg[:, None]
             w = v.astype(x_padded.dtype)

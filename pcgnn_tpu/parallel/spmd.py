@@ -6,42 +6,53 @@ Layout over the ('data', 'graph') mesh:
   * batch / labels / weights : sharded over 'data'  -> [B/dd] per device
   * node features            : sharded over 'graph' -> [N_pad/dg, F]
   * graph structure          : sharded over 'graph' — each relation is a
-    :class:`ShardedRel` whose dense neighbor table (``nbr2d``) and degree
-    vectors are row-block partitioned, so per-device graph bytes are
-    ~1/dg of the total (nothing structural is replicated).
+    :class:`ShardedRel` whose dense neighbor table (``nbr2d``), per-node
+    metadata and edge-window feature store are row-block partitioned, so
+    per-device graph bytes are ~1/dg of the total.  The ONLY replicated
+    structure is the hub sub-CSR of window-capped relations — the <0.5%
+    of rows above the p99.5 degree cap (``graph.csr._window_cap``), whose
+    edge mass is small by construction while the O(N·dcap) window tables
+    (the dominant bytes) stay sharded.
   * params                   : replicated (they are KBs).
 
-The step is *owner-computes-selection*:
-  1. halo — every device computes label-aware scores for its feature rows;
-     one ``all_gather`` over 'graph' makes the [N_pad, 2] score table
-     global.  This is the only nodewise halo: choose needs exactly one
-     scalar per node (score channel 0), never the [N, F] features.
-  2. choose — for each batch row, the device owning that row's block reads
-     its neighbor window from the local ``nbr2d`` shard and computes the
-     keep mask (keff-nearest by score distance).  The kept window is then
-     published to the other graph-shards with a ``psum`` of an
-     exactly-one-owner encoding (kept id+1, else 0): each row has one
-     owner, so the sum *is* the owner's value.  Comm: O(B·D) int32 per
-     relation — proportional to touched edges, never to N.
-  3. aggregate — every device gathers the feature rows of kept ids that
-     fall in its local block and contributes a partial (sum, count);
-     ``psum`` over 'graph' completes the mean.  Same for the oversampled
-     minority candidates and the self rows.
-  4. loss — ``psum`` over 'data' inside the weighted CE mean; parameter
-     grads reduce through shard_map's transpose of the replicated-in
-     broadcast.
+The step is *owner-computes-selection*; per relation one of three lanes:
 
-Note the graph axis shards *memory* (structure + features), and the
-selection *compute* (each owner ranks only its rows); the aggregation
-contraction itself is replicated across 'graph' (every shard scans the full
-kept window to find its rows).  For PC-GNN's F<=100-dim features that
-contraction is a trivial slice of the step; the win this layer exists for
-is fitting graphs whose structure does not fit one chip.
+  fast lane (relation carries a sharded edge-window store): the owner of a
+    batch row gathers the row's contiguous feature window from its LOCAL
+    store shard (``ops.pallas.window_gather`` — the same one-DMA-per-row
+    kernel as single-chip), runs choose + window aggregation entirely
+    locally, and publishes the finished (sum, count) with one
+    exactly-one-owner ``psum``: O(B·F) comm, and the sharded step IS the
+    single-chip fast path.
 
-Capped (hub-lane) relations are not supported here yet: the blockwise hub
-lane reads CSR tails, which this layout deliberately does not replicate.
-Shard such graphs rebuilt with ``window_cap=dmax`` (uncapped), or train
-single-chip where ``ops.hub`` applies.
+  plain lane (no store, e.g. over the HBM budget): the owner reads the
+    neighbor window from its ``nbr2d`` shard, computes the keep mask from
+    the all-gathered score table, and publishes the kept ids (O(B·D) int32
+    psum); every device then contributes feature partials for kept ids in
+    its block (``psum`` completes the mean).
+
+  hub lane (rows with deg > dcap of a capped relation): the hub sub-CSR is
+    replicated, so every device computes the identical blockwise choose
+    sweep (scores are global after the all-gather) and contributes feature
+    partials only for neighbors in its own block — comm stays O(B·F),
+    compute is proportional to touched hub edges (``ops.hub`` semantics,
+    dynamic trip counts).
+
+Nodewise halo: one ``all_gather`` over 'graph' of the [N_pad] *selection*
+score channel (skipped entirely when every relation runs the fast lane and
+none has hubs — choose then scores the gathered windows directly).  Scores
+follow the single-chip selection-precision rule: packed (bf16) stores rank
+the bf16-rounded feature snapshot (``models.pcgnn`` sel_round).
+
+Train-time oversampling: candidate selection is replicated (train-positive
+scores come from an owner-pick psum of their feature rows); the per-row
+keep-minor mask is owner-computed (it needs the kept-window dedup,
+``src/layers.py:694``) and published, and candidate feature partials are
+accumulated blockwise (``MINOR_CHUNK``) so wide candidate windows on skew
+graphs never materialize [B, M, F] or [B, M, D] at once.
+
+Loss: ``psum`` over the data axes inside the weighted CE mean; parameter
+grads reduce through shard_map's transpose of the replicated-in broadcast.
 """
 
 from __future__ import annotations
@@ -55,13 +66,24 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from pcgnn_tpu.graph.csr import MultiRelGraph, RelGraph
+from pcgnn_tpu.graph.csr import MultiRelGraph, RelGraph, _pack_bf16_pairs
 from pcgnn_tpu.models.pcgnn import PCGNN
-from pcgnn_tpu.ops.aggregate import keep_nearest, oversample_candidates_values
+from pcgnn_tpu.ops.aggregate import (
+    MINOR_CHUNK,
+    dedup_minor_keep,
+    keep_nearest,
+    oversample_candidates_values,
+    unpack_window,
+)
+from pcgnn_tpu.ops.hub import HUB_BLOCK, HUB_CHUNK, _run_hub_chunks, _window_block
 
 shard_map = jax.shard_map
 
 _INF = float("inf")  # python float: keep imports free of backend init
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
 
 
 def data_axes(mesh: Mesh) -> tuple:
@@ -79,10 +101,15 @@ def data_axes(mesh: Mesh) -> tuple:
 class ShardedRel:
     """One relation's structure, row-block sharded over the 'graph' axis.
 
-    Replaces the replicated CSR of the round-1 layer: only the dense
-    neighbor table and the per-node degree vectors exist, each placed with
-    a P('graph', ...) sharding, so every device hosts ~1/dg of the bytes.
+    The dense window-lane neighbor table, the per-node degree vectors and
+    (when built) the edge-window feature store are placed with
+    P('graph', ...) shardings — every device hosts ~1/dg of those bytes.
     Rows are padded to ``n_pad`` (zero degree, sentinel neighbors).
+
+    Window-capped relations additionally carry a compact hub sub-CSR
+    (``hub_*``), REPLICATED on every device: the full neighbor lists of
+    the few rows above the cap, plus a sharded [N_pad] ``hub_idx`` map
+    (-1 for non-hub rows) the owner publishes per batch.
     """
 
     nbr2d: jax.Array    # [N_pad, D] int32, P('graph', None); pad slots = N
@@ -93,6 +120,28 @@ class ShardedRel:
     width: int = dataclasses.field(metadata=dict(static=True))
     ksample_max: int = dataclasses.field(default=0,
                                          metadata=dict(static=True))
+    dmax: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # hub sub-CSR (window-capped relations only; replicated)
+    hub_idx: jax.Array | None = None    # [N_pad] int32, P('graph'); -1 = not hub
+    hub_start: jax.Array | None = None  # [H_pad] int32 into hub_col, P()
+    hub_col: jax.Array | None = None    # [Eh_pad] int32, P(); pad = N
+    hub_deg: jax.Array | None = None    # [H_pad] int32, P()
+    hub_keff: jax.Array | None = None   # [H_pad] int32, P()
+    hub_ksample: jax.Array | None = None  # [H_pad] int32, P()
+    # sharded edge-window feature store (fast lane): dg equal-length block
+    # segments concatenated, each block's node runs 1024-aligned and
+    # offsets LOCAL to the block
+    ewin: jax.Array | None = None       # [dg * Lb] f32, P('graph')
+    estart: jax.Array | None = None     # [N_pad] int32 LOCAL offsets, P('graph')
+    ewin_dp: int = dataclasses.field(default=0, metadata=dict(static=True))
+    ewin_f: int = dataclasses.field(default=0, metadata=dict(static=True))
+    ewin_fs: int = dataclasses.field(default=0, metadata=dict(static=True))
+    ewin_packed: bool = dataclasses.field(default=False,
+                                          metadata=dict(static=True))
+
+    @property
+    def has_hubs(self) -> bool:
+        return self.hub_col is not None
 
 
 def pad_graph_for_mesh(graph: MultiRelGraph, mesh: Mesh):
@@ -109,57 +158,185 @@ def pad_graph_for_mesh(graph: MultiRelGraph, mesh: Mesh):
     return feats, n_pad
 
 
-def shard_relation(rel: RelGraph, mesh: Mesh, n_pad: int) -> ShardedRel:
+# sharded edge-window store budget (bytes ACROSS the mesh; each device
+# hosts 1/dg).  Relations whose store would exceed it run the plain lane.
+SPMD_EWIN_BUDGET_BYTES = 8 * 1024 * 1024 * 1024
+
+
+def shard_relation(rel: RelGraph, mesh: Mesh, n_pad: int,
+                   features: np.ndarray | None = None,
+                   *, edge_windows: bool = True,
+                   ewin_dtype=jnp.float32,
+                   ewin_budget_bytes: int = SPMD_EWIN_BUDGET_BYTES
+                   ) -> ShardedRel:
     """Row-block partition one relation over the mesh's 'graph' axis.
 
-    The dense [N, D] neighbor table (built at graph construction when it
-    fits one chip's budget, else rebuilt here from the host CSR — sharded
-    it only needs to fit 1/dg per device) plus deg/keff/ksample become
-    'graph'-sharded device arrays; indptr/col are NOT carried at all.
+    The dense [N, D] window-lane neighbor table (D = dcap; hub rows keep
+    only their first dcap slots here, their full lists go to the hub
+    sub-CSR) plus deg/keff/ksample become 'graph'-sharded device arrays.
+    With ``features`` and ``edge_windows``, the per-block edge-window
+    feature store is built too (``ewin_dtype`` as in
+    ``graph.csr.attach_edge_windows``), enabling the fast lane.
     """
     if rel.is_stub:
         raise ValueError("cannot shard a degree-only stub relation "
                          "(graph.csr.degree_stub): it has no edges")
-    if rel.has_hubs:
-        raise NotImplementedError(
-            f"SPMD graph sharding does not support window-capped relations "
-            f"yet (dcap={rel.window_width} < dmax={rel.dmax}): the hub lane "
-            f"reads CSR edge tails, which the sharded layout drops. Rebuild "
-            f"with csr_from_edges(window_cap=<dmax>) or train single-chip.")
+    dg = mesh.shape["graph"]
     n, d = rel.num_nodes, max(rel.window_width, 1)
+    indptr = np.asarray(rel.indptr)
+    col = np.asarray(rel.col[: rel.num_edges])
+    deg_np = np.asarray(rel.deg)
     if rel.nbr2d is not None:
         nbr2d = np.asarray(rel.nbr2d)
     else:
         # beyond the single-chip table budget: build on host, shard on put
-        indptr = np.asarray(rel.indptr)
-        col = np.asarray(rel.col[: rel.num_edges])
         nbr2d = np.full((n, d), n, dtype=np.int32)
         if len(col):
             rows = np.repeat(np.arange(n), np.diff(indptr))
             slots = np.arange(len(col)) - indptr[rows]
-            nbr2d[rows, slots] = col
+            fit = slots < d
+            nbr2d[rows[fit], slots[fit]] = col[fit]
     if n_pad != n:
         pad = np.full((n_pad - n, d), n, dtype=np.int32)
         nbr2d = np.concatenate([nbr2d, pad])
 
-    def padvec(v):
+    def padvec(v, fill=0):
         v = np.asarray(v)
-        return np.concatenate([v, np.zeros(n_pad - n, v.dtype)])
+        return np.concatenate([v, np.full(n_pad - n, fill, v.dtype)])
 
-    put = lambda a, spec: jax.device_put(a, NamedSharding(mesh, spec))
+    put = lambda a, spec: jax.device_put(
+        np.asarray(a), NamedSharding(mesh, spec))
+
+    hub_kw = {}
+    if rel.has_hubs:
+        hub_kw = _build_hub_shard(rel, indptr, col, deg_np, n, n_pad, put,
+                                  padvec)
+    ewin_kw = {}
+    if edge_windows and features is not None:
+        ewin_kw = _build_sharded_ewin(rel, indptr, col, deg_np, features,
+                                      dg, n_pad, ewin_dtype,
+                                      ewin_budget_bytes, put)
+
     return ShardedRel(
         nbr2d=put(nbr2d, P("graph", None)),
-        deg=put(padvec(rel.deg), P("graph")),
+        deg=put(padvec(deg_np), P("graph")),
         keff=put(padvec(rel.keff), P("graph")),
         ksample=put(padvec(rel.ksample), P("graph")),
         num_nodes=n,
         width=d,
         ksample_max=rel.ksample_max,
+        dmax=rel.dmax,
+        **hub_kw,
+        **ewin_kw,
     )
 
 
-def shard_relations(graph: MultiRelGraph, mesh: Mesh, n_pad: int) -> tuple:
-    return tuple(shard_relation(r, mesh, n_pad) for r in graph.relations)
+def _build_hub_shard(rel, indptr, col, deg_np, n, n_pad, put, padvec):
+    """Compact hub sub-CSR (full neighbor lists of rows above the cap),
+    replicated, plus the sharded node -> hub-slot map."""
+    d = max(rel.window_width, 1)
+    hub_rows = np.flatnonzero(deg_np > d)
+    h = len(hub_rows)
+    h_pad = max(_round_up(h, 8), 8)
+    hub_deg = np.zeros(h_pad, np.int32)
+    hub_deg[:h] = deg_np[hub_rows]
+    hub_keff = np.zeros(h_pad, np.int32)
+    hub_keff[:h] = np.asarray(rel.keff)[hub_rows]
+    hub_ks = np.zeros(h_pad, np.int32)
+    hub_ks[:h] = np.asarray(rel.ksample)[hub_rows]
+    hub_start = np.zeros(h_pad, np.int64)
+    np.cumsum(hub_deg[:-1], out=hub_start[1:])
+    total = int(hub_start[h - 1] + hub_deg[h - 1]) if h else 0
+    # tail pad mirrors graph.csr._finalize so the ragged block gather can
+    # DMA the 1024-aligned superset of any [start, start + HUB_BLOCK) span
+    eh_pad = max(_round_up(total + _round_up(HUB_BLOCK, 1024) + 2048, 1024),
+                 1024)
+    hub_col = np.full(eh_pad, n, np.int32)
+    for i, v in enumerate(hub_rows):
+        s = int(hub_start[i])
+        hub_col[s: s + deg_np[v]] = col[indptr[v]: indptr[v] + deg_np[v]]
+    hub_idx = np.full(n, -1, np.int32)
+    hub_idx[hub_rows] = np.arange(h, dtype=np.int32)
+    return dict(
+        hub_idx=put(padvec(hub_idx, fill=-1), P("graph")),
+        hub_start=put(hub_start.astype(np.int32), P()),
+        hub_col=put(hub_col, P()),
+        hub_deg=put(hub_deg, P()),
+        hub_keff=put(hub_keff, P()),
+        hub_ksample=put(hub_ks, P()),
+    )
+
+
+def _build_sharded_ewin(rel, indptr, col, deg_np, features, dg, n_pad,
+                        dtype, budget_bytes, put):
+    """Per-block edge-window store: node v's first min(deg, dcap) neighbor
+    feature rows in CSR order, runs 1024-aligned, offsets local to v's
+    block; the dg equal-length blocks concatenate into one P('graph')
+    array (see ``graph.csr.attach_edge_windows`` for the packing rules).
+    Built on the host (numpy): the sharded layout re-bases offsets per
+    block, and multi-host pods would build their addressable blocks only.
+    """
+    dtype = jnp.dtype(dtype)
+    packed = dtype == jnp.dtype(jnp.bfloat16)
+    feats = np.asarray(features, np.float32)
+    f = feats.shape[1]
+    fs = f + (f % 2) if packed else f
+    fw = fs // 2 if packed else fs
+    d = max(rel.window_width, 1)
+    dp = _round_up(d * fw, 1024)
+    block = n_pad // dg
+    degc = np.minimum(deg_np, d).astype(np.int64)
+    degc_pad = np.concatenate([degc, np.zeros(n_pad - len(degc), np.int64)])
+    runs = ((degc_pad * fw + 1023) // 1024) * 1024   # 1024-aligned runs
+    # per-block local starts + the common (max) block length
+    runs_blk = runs.reshape(dg, block)
+    estart_blk = np.zeros((dg, block), np.int64)
+    np.cumsum(runs_blk[:, :-1], axis=1, out=estart_blk[:, 1:])
+    block_lens = estart_blk[:, -1] + runs_blk[:, -1]
+    lb = _round_up(int(block_lens.max()) + dp + 3072, 1024)
+    if lb * dg * 4 > budget_bytes:
+        return {}
+    if packed:
+        feats = _pack_bf16_pairs(feats, fs)        # [N, fw] packed words
+    flat = np.zeros(dg * lb, np.float32)
+    n = len(deg_np)
+    for g in range(dg):
+        lo, hi = g * block, min((g + 1) * block, n)
+        if lo >= n:
+            break
+        nodes = np.arange(lo, hi)
+        cnt = degc[lo:hi]
+        rows = np.repeat(nodes, cnt)
+        if not len(rows):
+            continue
+        starts_rep = np.repeat(estart_blk[g, : hi - lo], cnt)
+        slot = np.arange(len(rows)) - np.repeat(
+            np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt)
+        src = col[indptr[rows] + slot]
+        dst = (g * lb + starts_rep + slot * fw)[:, None] + np.arange(fw)
+        flat[dst.ravel()] = feats[src].ravel()
+    estart_local = estart_blk.reshape(-1).astype(np.int32)
+    return dict(
+        ewin=put(flat, P("graph")),
+        estart=put(estart_local, P("graph")),
+        ewin_dp=dp,
+        ewin_f=f,
+        ewin_fs=fs,
+        ewin_packed=packed,
+    )
+
+
+def shard_relations(graph: MultiRelGraph, mesh: Mesh, n_pad: int,
+                    *, edge_windows: bool = True,
+                    ewin_dtype=jnp.float32,
+                    ewin_budget_bytes: int = SPMD_EWIN_BUDGET_BYTES) -> tuple:
+    feats = (np.asarray(graph.features)
+             if edge_windows and graph.num_relations else None)
+    return tuple(
+        shard_relation(r, mesh, n_pad, feats, edge_windows=edge_windows,
+                       ewin_dtype=ewin_dtype,
+                       ewin_budget_bytes=ewin_budget_bytes)
+        for r in graph.relations)
 
 
 def _owner_pick(mine, values, axis="graph"):
@@ -181,6 +358,133 @@ def _block_partials(ids, keep, col_lo, block, x_local):
     return num, jnp.sum(w, axis=-1)
 
 
+def _block_partials_chunked(ids, keep, col_lo, block, x_local,
+                            chunk: int = MINOR_CHUNK):
+    """``_block_partials`` in fixed-width column blocks: peak memory stays
+    O(B·chunk·F) for wide candidate windows (skew graphs grow the minor
+    window with ceil(thr·dmax)·rho, ``src/layers.py:681``).  Selection is
+    non-differentiable, so the block loop needs no VJP."""
+    b, m = ids.shape
+    if m <= chunk:
+        return _block_partials(ids, keep, col_lo, block, x_local)
+    ids = jax.lax.stop_gradient(ids)
+    keep = jax.lax.stop_gradient(keep)
+    nblk = -(-m // chunk)
+    if nblk * chunk != m:
+        ids = jnp.pad(ids, ((0, 0), (0, nblk * chunk - m)))
+        keep = jnp.pad(keep, ((0, 0), (0, nblk * chunk - m)))
+    f = x_local.shape[1]
+
+    def body(j, acc):
+        num, cnt = acc
+        idb = jax.lax.dynamic_slice(ids, (0, j * chunk), (b, chunk))
+        kb = jax.lax.dynamic_slice(keep, (0, j * chunk), (b, chunk))
+        pn, pc = _block_partials(idb, kb, col_lo, block, x_local)
+        return num + pn, cnt + pc
+
+    return jax.lax.fori_loop(
+        0, nblk, body, (jnp.zeros((b, f), x_local.dtype),
+                        jnp.zeros((b,), x_local.dtype)))
+
+
+def _spmd_hub_sum(sh: ShardedRel, is_hub, hslot, s0_full, center_s0,
+                  x_local, col_lo, block, f: int,
+                  tp_local=None, minor_thresh=None):
+    """Blockwise choose + feature-partial sum over hub rows (the SPMD form
+    of ``ops.hub.hub_choose_sum``).
+
+    The hub sub-CSR is replicated and scores are global, so every device
+    in a 'graph' group runs the IDENTICAL selection sweep (same dynamic
+    trip counts); only the feature accumulation is device-local (neighbors
+    in this block), so one psum of the returned partials completes the
+    sums.  ``tp_local`` ([block] 0/1 train-positive indicator for this
+    block) + ``minor_thresh`` ([B]) enable the duplicate-minor
+    subtraction; the weight of a duplicate is only ever subtracted by the
+    device that added it (the neighbor's block owner), matching the
+    single-chip global subtraction.
+
+    Returns device-local partials (num [B, f], cnt [B]); zeros at non-hub
+    rows.
+    """
+    sg = jax.lax.stop_gradient
+    x_local = sg(x_local)
+    center_s0 = sg(center_s0)
+    s0_full = sg(s0_full)
+    blk = HUB_BLOCK
+    dh = _round_up(max(sh.dmax, 1), blk)
+    h_pad = sh.hub_deg.shape[0]
+    n_pad = s0_full.shape[0]
+
+    def chunk_fn(rows_slot, active):
+        hs = jnp.clip(hslot[rows_slot], 0, h_pad - 1)
+        start = sh.hub_start[hs]
+        deg = jnp.where(active & (hslot[rows_slot] >= 0), sh.hub_deg[hs], 0)
+        kf_rows = sh.hub_keff[hs]
+        c_s0 = center_s0[rows_slot]
+        thr = minor_thresh[rows_slot] if minor_thresh is not None else None
+        jb = (jnp.max(deg) + blk - 1) // blk       # dynamic trip count
+
+        def pass1(j, dist):
+            nbr = _window_block(sh.hub_col, start, j, blk)
+            offs = j * blk + jnp.arange(blk, dtype=jnp.int32)[None, :]
+            v = offs < deg[:, None]
+            s0n = s0_full[jnp.clip(nbr, 0, n_pad - 1)]
+            d_ = jnp.where(v, jnp.abs(c_s0[:, None] - s0n), _INF)
+            return jax.lax.dynamic_update_slice(dist, d_, (0, j * blk))
+
+        dist = jax.lax.fori_loop(
+            0, jb, pass1, jnp.full((HUB_CHUNK, dh), _INF, jnp.float32))
+        keep = keep_nearest(dist, kf_rows, jnp.isfinite(dist))
+
+        def pass2(j, acc):
+            num, cnt = acc
+            nbr = _window_block(sh.hub_col, start, j, blk)
+            local = nbr - col_lo
+            inb = (local >= 0) & (local < block)
+            lclip = jnp.clip(local, 0, block - 1)
+            kb = jax.lax.dynamic_slice(keep, (0, j * blk), (HUB_CHUNK, blk))
+            w = (kb & inb).astype(x_local.dtype)
+            if tp_local is not None:
+                db = jax.lax.dynamic_slice(dist, (0, j * blk),
+                                           (HUB_CHUNK, blk))
+                dup = kb & inb & (tp_local[lclip] > 0.5) & (db <= thr[:, None])
+                w = w - dup.astype(x_local.dtype)
+            num = num + jnp.einsum("hw,hwf->hf", w, x_local[lclip])
+            return num, cnt + jnp.sum(w, axis=1)
+
+        return jax.lax.fori_loop(
+            0, jb, pass2, (jnp.zeros((HUB_CHUNK, f), x_local.dtype),
+                           jnp.zeros((HUB_CHUNK,), x_local.dtype)))
+
+    return _run_hub_chunks(is_hub, HUB_CHUNK, f, x_local.dtype, chunk_fn)
+
+
+def _minor_thresh_from(ks_b, batch_labels, cand_valid, cand_dist, rho):
+    """[B] hub dup-detection threshold; the shard-local twin of
+    ``ops.aggregate.minor_dedup_threshold`` taking the published
+    ``ksample[batch]`` instead of re-gathering it."""
+    m = jnp.floor(ks_b.astype(jnp.float32) * rho).astype(jnp.int32)
+    n_valid = jnp.sum(cand_valid.astype(jnp.int32), axis=1)
+    m_max = cand_dist.shape[1]
+    idx = jnp.clip(m - 1, 0, m_max - 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, cand_dist.shape, 1)
+    at_m = jnp.sum(jnp.where(cols == idx[:, None], cand_dist, 0.0), axis=1)
+    thresh = jnp.where(m >= n_valid, _INF, at_m)
+    active = (batch_labels == 1) & (m > 0)
+    return jnp.where(active, thresh, -_INF)
+
+
+def _sharded_feature_window(sh: ShardedRel, starts: jax.Array):
+    """[B, D, F] feature window from this device's LOCAL store shard (one
+    contiguous DMA per row, ``ops.pallas.window_gather``); rows this
+    device does not own read in-range garbage the caller masks out."""
+    from pcgnn_tpu.ops.pallas import window_gather
+    d = max(sh.width, 1)
+    raw = window_gather.window_gather(sh.ewin, starts, sh.ewin_dp,
+                                      aligned=True)
+    return unpack_window(raw, d, sh.ewin_f, sh.ewin_fs, sh.ewin_packed)
+
+
 def spmd_forward_fn(model: PCGNN, mesh: Mesh, n_pad: int, shards: tuple,
                     *, train: bool):
     """Build the shard_map'd forward
@@ -198,24 +502,31 @@ def spmd_forward_fn(model: PCGNN, mesh: Mesh, n_pad: int, shards: tuple,
     block = n_pad // mesh.shape["graph"]
     rho = model.rho
     daxes = data_axes(mesh)
-    shards_spec = tuple(
-        dataclasses.replace(sh, nbr2d=P("graph", None), deg=P("graph"),
-                            keff=P("graph"), ksample=P("graph"))
-        for sh in shards)
+    # selection-precision rule (models.pcgnn sel_round): packed stores
+    # rank the bf16-rounded feature snapshot everywhere
+    packed_sel = any(sh.ewin_packed for sh in shards)
+    sel = ((lambda a: a.astype(jnp.bfloat16).astype(jnp.float32))
+           if packed_sel else (lambda a: a))
+    # the [N_pad] selection-score all-gather is needed by the plain lane
+    # (scores of nbr2d ids) and the hub lane; all-fast-lane graphs skip it
+    need_table = any(sh.ewin is None or sh.has_hubs for sh in shards)
+
+    def rel_spec(sh):
+        rep = dict(nbr2d=P("graph", None), deg=P("graph"), keff=P("graph"),
+                   ksample=P("graph"))
+        if sh.has_hubs:
+            rep.update(hub_idx=P("graph"), hub_start=P(), hub_col=P(),
+                       hub_deg=P(), hub_keff=P(), hub_ksample=P())
+        if sh.ewin is not None:
+            rep.update(ewin=P("graph"), estart=P("graph"))
+        return dataclasses.replace(sh, **rep)
+
+    shards_spec = tuple(rel_spec(sh) for sh in shards)
 
     def body(params, x_local, shards, batch, train_pos, train_pos_valid, y):
         clf = params["label_clf"]
-        # ---- halo: label-aware scores, one all-gather over 'graph' ------ #
-        scores_local = jnp.dot(x_local, clf["w"], precision="highest",
-                               preferred_element_type=jnp.float32) + clf["b"]
-        scores_full = jax.lax.all_gather(
-            scores_local, "graph", axis=0, tiled=True)        # [N_pad, 2]
-        center_scores = scores_full[batch]                    # [Bd, 2]
-        # selection is non-differentiable (label_clf learns only through
-        # the similarity loss, src/model.py:54-61)
-        s0 = jax.lax.stop_gradient(scores_full[:, 0])         # [N_pad]
-        center_s0 = s0[batch]
-
+        w0 = jax.lax.stop_gradient(clf["w"][:, 0])
+        b0 = jax.lax.stop_gradient(clf["b"][0])
         col_lo = jax.lax.axis_index("graph") * block
         local = batch - col_lo
         mine = (local >= 0) & (local < block)
@@ -223,50 +534,121 @@ def spmd_forward_fn(model: PCGNN, mesh: Mesh, n_pad: int, shards: tuple,
 
         # self feature rows, reduced over the graph axis
         self_feats = _owner_pick(mine, x_local[lclip])         # [Bd, F]
+        center_scores = jnp.dot(self_feats, clf["w"], precision="highest",
+                                preferred_element_type=jnp.float32) + clf["b"]
+
+        def s0_of(rows):
+            return jnp.dot(jax.lax.stop_gradient(sel(rows)), w0,
+                           precision="highest",
+                           preferred_element_type=jnp.float32) + b0
+
+        # selection is non-differentiable (label_clf learns only through
+        # the similarity loss, src/model.py:54-61)
+        center_s0 = jax.lax.stop_gradient(s0_of(self_feats))   # [Bd]
+        if need_table:
+            s0_full = jax.lax.all_gather(
+                s0_of(x_local), "graph", axis=0, tiled=True)   # [N_pad]
 
         if train:
-            m_max = max(1, min(
-                int(train_pos.shape[0]),
-                int(max(sh.ksample_max for sh in shards) * rho)))
-            cand_ids, cand_valid, _ = oversample_candidates_values(
-                center_s0, s0[train_pos], train_pos, train_pos_valid, m_max)
+            # candidate selection is replicated: train-positive feature
+            # rows via one owner-pick psum, scored with the shared rule
+            tp_local = train_pos - col_lo
+            tp_mine = (tp_local >= 0) & (tp_local < block) & train_pos_valid
+            tp_feats = _owner_pick(tp_mine, x_local[jnp.clip(
+                tp_local, 0, block - 1)])                      # [P, F]
+            tp_s0 = s0_of(tp_feats)
+            m_max = model.minor_window(int(train_pos.shape[0]), shards)
+            cand_ids, cand_valid, cand_dist = oversample_candidates_values(
+                center_s0, tp_s0, train_pos, train_pos_valid, m_max)
             is_fraud = (y == 1)
+            any_hub = any(sh.has_hubs for sh in shards)
+            if any_hub:
+                # this block's train-positive indicator (hub dup detection)
+                tp_rows = jnp.where(tp_mine, jnp.clip(tp_local, 0, block - 1),
+                                    block)
+                tp_blockmask = jnp.zeros(
+                    (block + 1,), x_local.dtype).at[tp_rows].set(
+                        1.0, mode="drop")[:block]
 
         rel_embs = []
         for r, sh in enumerate(shards):
             d = sh.width
-            # ---- owner computes the window + choose keep mask ---------- #
-            nbr_mine = sh.nbr2d[lclip]                         # [Bd, D] local
-            deg_mine = jnp.minimum(sh.deg[lclip], d)
+            # ---- owner metadata, one packed psum ----------------------- #
+            cols = [sh.deg[lclip], sh.keff[lclip], sh.ksample[lclip],
+                    (sh.hub_idx[lclip] if sh.has_hubs
+                     else jnp.zeros_like(lclip))]
+            meta = _owner_pick(mine, jnp.stack(cols, axis=1))  # [Bd, 4]
+            deg_b, keff_b, ks_b, hslot = (meta[:, 0], meta[:, 1],
+                                          meta[:, 2], meta[:, 3])
+            is_hub = (deg_b > d) if sh.has_hubs else None
             offs = jax.lax.broadcasted_iota(
                 jnp.int32, (batch.shape[0], d), 1)
-            valid = mine[:, None] & (offs < deg_mine[:, None])
-            dist = jnp.abs(center_s0[:, None] - s0[jnp.clip(
-                nbr_mine, 0, n_pad - 1)])
-            dist = jnp.where(valid, dist, _INF)
-            keep = keep_nearest(dist, sh.keff[lclip], valid)
-            # ---- publish the kept window: exactly-one-owner psum ------- #
-            enc = jnp.where(keep, nbr_mine + 1, 0)             # 0 = not kept
-            enc = jax.lax.psum(enc, "graph")                   # [Bd, D]
-            kept_ids = enc - 1
-            kept = enc > 0
-            ks = _owner_pick(mine, sh.ksample[lclip])          # [Bd]
+            valid_w = offs < jnp.minimum(deg_b, d)[:, None]
+            if sh.has_hubs:
+                valid_w = valid_w & ~is_hub[:, None]   # hubs leave the window
 
-            num, cnt = _block_partials(kept_ids, kept, col_lo, block, x_local)
             if train:
-                # oversampled minority positives for fraud centers, dedup'd
-                # against kept neighbors (set semantics, src/layers.py:694)
-                m = jnp.floor(ks.astype(jnp.float32) * rho).astype(jnp.int32)
+                m = jnp.floor(ks_b.astype(jnp.float32) * rho).astype(
+                    jnp.int32)
                 slot = jax.lax.broadcasted_iota(
                     jnp.int32, cand_valid.shape, 1)
-                keep_minor = cand_valid & (slot < m[:, None]) & is_fraud[:, None]
-                kept_sent = jnp.where(kept, kept_ids, n_pad)
-                dup = jnp.any(
-                    cand_ids[:, :, None] == kept_sent[:, None, :], axis=2)
-                keep_minor = keep_minor & ~dup
-                num_m, cnt_m = _block_partials(cand_ids, keep_minor, col_lo,
-                                               block, x_local)
-                num, cnt = num + num_m, cnt + cnt_m
+                base_minor = cand_valid & (slot < m[:, None]) & is_fraud[:, None]
+
+            if sh.ewin is not None:
+                # ---- fast lane: owner-complete window choose + sum ----- #
+                starts = sh.estart[lclip]
+                xw = _sharded_feature_window(sh, starts)       # [Bd, D, F]
+                valid_o = mine[:, None] & valid_w
+                nbr_s0 = s0_of(xw)
+                dist = jnp.where(valid_o,
+                                 jnp.abs(center_s0[:, None] - nbr_s0), _INF)
+                keep = keep_nearest(dist, keff_b, valid_o)
+                kf = keep.astype(xw.dtype)
+                num = jnp.einsum("bd,bdf->bf", kf, xw)
+                cnt = jnp.sum(kf, axis=1)
+                if train:
+                    # owner dedups minors against its kept window and
+                    # publishes the mask (exactly-one-owner psum)
+                    nbr_ids = sh.nbr2d[lclip]
+                    km = dedup_minor_keep(nbr_ids, keep, n_pad, cand_ids,
+                                          base_minor & mine[:, None])
+                    keep_minor = jax.lax.psum(
+                        km.astype(jnp.int32), "graph") > 0
+            else:
+                # ---- plain lane: publish kept ids, partial-sum features -- #
+                nbr_mine = sh.nbr2d[lclip]                     # [Bd, D]
+                valid_o = mine[:, None] & valid_w
+                dist = jnp.abs(center_s0[:, None] - s0_full[jnp.clip(
+                    nbr_mine, 0, n_pad - 1)])
+                dist = jnp.where(valid_o, dist, _INF)
+                keep = keep_nearest(dist, keff_b, valid_o)
+                enc = jnp.where(keep, nbr_mine + 1, 0)         # 0 = not kept
+                enc = jax.lax.psum(enc, "graph")               # [Bd, D]
+                kept_ids = enc - 1
+                kept = enc > 0
+                num, cnt = _block_partials(kept_ids, kept, col_lo, block,
+                                           x_local)
+                if train:
+                    # kept ids are global here, so dedup replicates exactly
+                    keep_minor = dedup_minor_keep(
+                        kept_ids, kept, n_pad, cand_ids, base_minor)
+
+            if sh.has_hubs:
+                thr = (_minor_thresh_from(ks_b, y, cand_valid, cand_dist,
+                                          rho) if train else None)
+                h_num, h_cnt = _spmd_hub_sum(
+                    sh, is_hub, hslot, s0_full, center_s0, x_local,
+                    col_lo, block, x_local.shape[1],
+                    tp_local=tp_blockmask if train else None,
+                    minor_thresh=thr)
+                num, cnt = num + h_num, cnt + h_cnt   # disjoint row sets
+
+            if train:
+                # oversampled minority positives: blockwise feature
+                # partials (set semantics already enforced by the dedup)
+                m_num, m_cnt = _block_partials_chunked(
+                    cand_ids, keep_minor, col_lo, block, x_local)
+                num, cnt = num + m_num, cnt + m_cnt
             num = jax.lax.psum(num, "graph")                   # [Bd, F]
             cnt = jax.lax.psum(cnt, "graph")                   # [Bd]
             agg = num / jnp.maximum(cnt, 1.0)[:, None]

@@ -36,6 +36,9 @@ class EvalResult:
     gmean: float
     predictions: np.ndarray        # argmax class per node
     anomaly_confidence: np.ndarray  # prob of class 1
+    # decision threshold chosen by the validation F1 sweep (``sweep_thresh``
+    # evaluation, the (f1) trainer variant); None outside that mode
+    thresh: Optional[float] = None
 
     @property
     def line(self) -> str:
@@ -105,6 +108,7 @@ def evaluate(
     flag: Optional[str] = None,
     print_line: bool = True,
     valid_thresh: Optional[float] = None,
+    sweep_thresh: bool = False,
 ) -> EvalResult:
     """Batched evaluation driver (reference ``test``).
 
@@ -113,6 +117,11 @@ def evaluate(
 
     If ``valid_thresh`` is given, F1/F1-macro are recomputed at that
     threshold (threshold-transfer evaluation, ``src/utils(f1).py:314-322``).
+    With ``sweep_thresh`` the 100-threshold F1 sweep runs instead (the
+    (f1) validation protocol, ``src/utils(f1).py:314-318``): F1 is the
+    best swept value, F1-macro is computed at the winning threshold, and
+    ``result.thresh`` carries it for threshold transfer.  Both overrides
+    happen BEFORE logging, so the logged line matches the reference's.
     """
     nodes = np.asarray(nodes)
     m = len(nodes)
@@ -127,7 +136,12 @@ def evaluate(
         probs[start:end] = out[: end - start]
 
     res = compute_metrics(labels, probs)
-    if valid_thresh is not None:
+    if sweep_thresh:
+        res.f1, res.thresh = get_best_f1(labels, probs[:, 1])
+        preds = (probs[:, 1] > res.thresh).astype(np.int64)
+        res.f1_macro = f1_score(labels, preds, average="macro")
+        res.predictions = preds
+    elif valid_thresh is not None:
         preds = (probs[:, 1] > valid_thresh).astype(np.int64)
         res.f1 = f1_score(labels, preds)
         res.f1_macro = f1_score(labels, preds, average="macro")

@@ -79,17 +79,22 @@ class Trainer:
 
         # edge-window feature stores (one contiguous DMA per window row;
         # graph.csr.attach_edge_windows): materialized AFTER any feature
-        # transform, single-device only (the SPMD path shards relation
-        # structure itself, parallel.spmd).  Relations over the HBM budget
-        # keep the scattered-gather path transparently.
+        # transform.  Under SPMD (num_devices > 1) the store is instead
+        # built ROW-BLOCK SHARDED inside parallel.spmd.shard_relations
+        # (same layout per block, offsets local to the owning device), so
+        # this single-device materialization is skipped there.  Relations
+        # over the HBM budget keep the scattered-gather path transparently.
         if (cfg.get("edge_windows", True)
                 and int(cfg.get("num_devices") or 1) == 1):
             from pcgnn_tpu.graph.csr import materialize_edge_windows
             # bfloat16 store by default (TPU-first): the step is
             # window-gather-bound, and halving the store's HBM traffic is
-            # the dominant lever; only the frozen feature VALUES round
-            # (accumulation stays f32).  ``ewin_dtype: "float32"`` restores
-            # bit-exact parity with the scattered-gather path.
+            # the dominant lever.  The stored feature VALUES round, and all
+            # SELECTION scores then rank the bf16-rounded snapshot
+            # consistently (models.pcgnn sel_round: self-distance stays
+            # exactly 0); aggregation/loss accumulation stays f32.
+            # ``ewin_dtype: "float32"`` restores bit-exact parity with the
+            # scattered-gather path.
             graph = materialize_edge_windows(
                 graph, dtype={"bfloat16": jnp.bfloat16,
                               "float32": jnp.float32}[
@@ -185,7 +190,12 @@ class Trainer:
                 pad_graph_for_mesh, shard_relations, spmd_loss_fn,
                 spmd_predict_fn)
             x_sharded, n_pad = pad_graph_for_mesh(self.graph, self.mesh)
-            rel_shards = shard_relations(self.graph, self.mesh, n_pad)
+            rel_shards = shard_relations(
+                self.graph, self.mesh, n_pad,
+                edge_windows=bool(self.config.get("edge_windows", True)),
+                ewin_dtype={"bfloat16": jnp.bfloat16,
+                            "float32": jnp.float32}[
+                    self.config.get("ewin_dtype", "bfloat16")])
             spmd_loss = spmd_loss_fn(model, self.mesh, n_pad, rel_shards)
             spmd_predict = spmd_predict_fn(model, self.mesh, n_pad,
                                            rel_shards)
@@ -356,6 +366,12 @@ class Trainer:
         opt_state = self.tx.init(params)
         auc_best, f1_mac_best, epoch_best = 1e-10, 1e-10, 0
         start_epoch = 0
+        # "f1" = the reference's (f1) selection protocol: validation F1 is
+        # the 100-threshold sweep's best, the gain rule runs on the swept
+        # F1-macro, and the winning threshold transfers to the final test
+        # (model_handler(f1).py:142-178, utils(f1).py:314-322)
+        select_f1 = cfg.get("select", "gain") == "f1"
+        thresh_best = None
 
         # mid-training resume (params + optimizer state + selection state);
         # the reference can only restore best-val params (model_handler:175)
@@ -366,6 +382,7 @@ class Trainer:
                 opt_state = jax.tree.map(jnp.asarray, st["opt_state"])
                 auc_best, f1_mac_best = st["auc_best"], st["f1_mac_best"]
                 epoch_best, start_epoch = st["epoch_best"], st["epoch"] + 1
+                thresh_best = st.get("thresh_best")
                 print(f"Resumed from epoch {st['epoch']}")
             except FileNotFoundError:
                 pass
@@ -407,18 +424,19 @@ class Trainer:
                     lambda nodes: self.predict_fn(params, nodes),
                     self.idx_valid, self.y_valid, self.batch_size,
                     result=self.result, epoch=epoch, epoch_best=epoch_best,
-                    flag="val")
+                    flag="val", sweep_thresh=select_f1)
                 gain_auc = (res.auc - auc_best) / auc_best
                 gain_f1 = (res.f1_macro - f1_mac_best) / f1_mac_best
                 if gain_auc + gain_f1 > 0:
                     auc_best, f1_mac_best, epoch_best = res.auc, res.f1_macro, epoch
+                    thresh_best = res.thresh
                     best_params = jax.tree.map(lambda x: x.copy(), params)
                     save_checkpoint(self.result.model_path, best_params)
                 if cfg.get("resume"):
                     save_checkpoint(self._resume_path(), dict(
                         params=params, opt_state=opt_state, epoch=epoch,
                         auc_best=auc_best, f1_mac_best=f1_mac_best,
-                        epoch_best=epoch_best))
+                        epoch_best=epoch_best, thresh_best=thresh_best))
             if (epoch - epoch_best) > cfg["patience"]:
                 print(f"Early stopping at epoch {epoch}")
                 break
@@ -432,8 +450,10 @@ class Trainer:
         res = evaluate(
             lambda nodes: self.predict_fn(best_params, nodes),
             self.idx_test, self.y_test, self.batch_size,
-            result=self.result, epoch_best=epoch_best, flag="test")
+            result=self.result, epoch_best=epoch_best, flag="test",
+            valid_thresh=thresh_best if select_f1 else None)
         self.result.save_predictions(res.anomaly_confidence, "anomaly_confidence")
         self.best_params = best_params
         self.epoch_times = epoch_times
+        self.valid_thresh = thresh_best
         return res.auc, res.recall, res.f1_macro

@@ -51,6 +51,13 @@ DEFAULTS = {
     # traffic — only the frozen feature values round, accumulation stays
     # f32) or "float32" (bit-exact vs the scattered-gather path).
     "ewin_dtype": "bfloat16",
+    # model-selection protocol: "gain" = the reference's relative AUC+F1
+    # gain rule on argmax predictions (model_handler.py:162-169); "f1" =
+    # the (f1) variant — validation sweeps 100 thresholds for best F1,
+    # the gain rule runs on the swept F1-macro, and the chosen threshold
+    # transfers to the final test (model_handler(f1).py:142-178,
+    # utils(f1).py:314-322).
+    "select": "gain",
 }
 
 REQUIRED = ("data_name", "model")

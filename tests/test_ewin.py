@@ -371,3 +371,76 @@ def test_trainer_bf16_default_trains_close():
     assert np.isfinite(losses["bfloat16"])
     np.testing.assert_allclose(losses["bfloat16"], losses["float32"],
                                rtol=0.1)
+
+
+def test_bf16_selection_symmetric_self_loop():
+    """With a packed (bf16) store, ALL selection scores rank the
+    bf16-rounded feature snapshot (models.pcgnn sel_round), so a
+    self-loop's choose distance is exactly 0 and the self-loop wins any
+    rounded-score tie.
+
+    Construction: node v keeps exactly ONE neighbor (deg 3, threshold 0.1
+    -> keff 1).  x[v] sits exactly on a bf16 rounding midpoint, and a
+    LOWER-id neighbor's value is the other equidistant grid point — under
+    the old asymmetric scoring (exact center vs rounded neighbors) the two
+    distances tie and the earlier column (the neighbor) won; symmetric
+    rounding makes the self distance exactly 0.  The forward output must
+    therefore equal the same node's output in a graph whose only neighbor
+    IS the self-loop.
+    """
+    from pcgnn_tpu.graph.csr import build_multirel, csr_from_edges
+
+    n, v, a, b = 8, 5, 1, 2
+    feats = np.asarray(
+        [0.25, 1.0078125, 2.0, 0.5, 0.75, 1.00390625, 3.0, 4.0],
+        np.float32)[:, None]
+    # 1.00390625 = 1 + 2^-8: midpoint of the bf16 grid [1.0, 1.0078125]
+    # (7 mantissa bits -> spacing 2^-7 at [1, 2)), round-to-nearest-even
+    # -> 1.0; neighbor a holds the other grid point, so
+    # |s_v - s~_a| == |s_v - s~_v| == 2^-8 under exact-center scoring and
+    # the tie-break (lower column) used to pick the neighbor.
+    assert float(jnp.asarray(feats[v, 0]).astype(jnp.bfloat16)) == 1.0
+    assert float(jnp.asarray(feats[a, 0]).astype(jnp.bfloat16)) == 1.0078125
+
+    def graph_for(edges):
+        src, dst = map(np.asarray, zip(*edges))
+        rel = csr_from_edges(src, dst, n, threshold=0.1)
+        return materialize_edge_windows(
+            build_multirel([rel], rel, feats, np.zeros(n, np.int64)),
+            dtype=jnp.bfloat16)
+
+    base = [(0, 3), (4, 6), (6, 7)]             # background edges
+    g_tie = graph_for(base + [(v, a), (v, b)])  # v's nbrs: {a, b, v}
+    g_self = graph_for(base)                    # v's nbrs: {v}
+    assert int(np.asarray(g_tie.relations[0].keff)[v]) == 1
+    assert g_tie.relations[0].ewin_packed
+
+    model = PCGNN(feat_dim=1, emb_dim=8, num_relations=1, alpha=2.0, rho=0.5)
+    params = model.init(jax.random.key(0))
+    params["label_clf"]["w"] = jnp.asarray([[1.0, 0.0]])
+    params["label_clf"]["b"] = jnp.zeros(2)
+    batch = jnp.asarray([v], jnp.int32)
+
+    out_tie, _ = model.forward(params, g_tie, batch, None, train=False)
+    out_self, _ = model.forward(params, g_self, batch, None, train=False)
+    np.testing.assert_array_equal(np.asarray(out_tie), np.asarray(out_self))
+
+
+def test_trainer_bf16_default_auc_close():
+    """AUC-level guard for the bf16 default (beyond the 2-epoch loss band):
+    a short trained run under the bf16 store must land within a few AUC
+    points of the f32 run on the validation split."""
+    from pcgnn_tpu.train.metrics import evaluate
+    from pcgnn_tpu.train.trainer import Trainer
+    aucs = {}
+    for dt in ("bfloat16", "float32"):
+        t = Trainer(_trainer_cfg(ewin_dtype=dt, epochs=30, seed=11))
+        params = t.model.init(jax.random.key(11))
+        opt_state = t.tx.init(params)
+        params, opt_state, _ = t.epoch_block_fn(params, opt_state, 0, 30)
+        res = evaluate(lambda nodes: t.predict_fn(params, nodes),
+                       t.idx_valid, t.y_valid, t.batch_size,
+                       print_line=False)
+        aucs[dt] = res.auc
+    assert aucs["float32"] > 0.6          # the run actually learned
+    assert abs(aucs["bfloat16"] - aucs["float32"]) < 0.05, aucs

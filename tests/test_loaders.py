@@ -184,3 +184,52 @@ def test_load_data_per_relation_thresholds():
         deg = np.asarray(rel.deg)
         np.testing.assert_array_equal(np.asarray(rel.ksample),
                                       np.ceil(t * deg).astype(np.int32))
+
+
+def test_verify_dataset_go_and_nogo(tmp_path):
+    """data.verify: fabricated reference-format files pass the structural
+    checks; a broken directory (missing file / asymmetric adjacency) is a
+    loud NO-GO.  (Documented-stat rows only apply to the real datasets —
+    tfinance has no expected-stats entry, exercising the structural path.)"""
+    from pcgnn_tpu.data.verify import expected_files, verify_dataset
+
+    base = tmp_path / "pyg/TFinance/processed"
+    _write_pickled_dataset(str(base), "tfinance", ("homo",),
+                           "tfinance_data.pt")
+    ok, lines = verify_dataset("tfinance", str(tmp_path) + "/")
+    assert ok, "\n".join(lines)
+
+    # missing file -> NO-GO listing the path
+    victim = expected_files("tfinance", str(tmp_path) + "/")[1]
+    os.rename(victim, victim + ".bak")
+    ok, lines = verify_dataset("tfinance", str(tmp_path) + "/")
+    assert not ok and any("MISSING" in ln for ln in lines)
+    os.rename(victim + ".bak", victim)
+
+    # asymmetric adjacency -> NO-GO
+    with open(victim, "rb") as fh:
+        adj = pickle.load(fh)
+    adj[0].add(len(adj) - 1)     # one-directional edge
+    adj[len(adj) - 1].discard(0)
+    with open(victim, "wb") as fh:
+        pickle.dump(adj, fh)
+    ok, lines = verify_dataset("tfinance", str(tmp_path) + "/")
+    assert not ok and any("symmetric" in ln and "FAILED" in ln
+                          for ln in lines)
+
+    # unknown name -> NO-GO
+    ok, _ = verify_dataset("nope", str(tmp_path) + "/")
+    assert not ok
+
+
+def test_verify_dataset_expected_stats(tmp_path):
+    """A fabricated 'yelp' with the wrong node count trips the
+    documented-statistics row."""
+    from pcgnn_tpu.data.verify import verify_dataset
+
+    base = tmp_path / "pyg/YelpChi/processed"
+    _write_pickled_dataset(str(base), "yelp", ("rur", "rtr", "rsr"),
+                           "YelpChi_data.pt", n=20, f=32)
+    ok, lines = verify_dataset("yelp", str(tmp_path) + "/")
+    assert not ok
+    assert any("node count" in ln and "FAILED" in ln for ln in lines)

@@ -140,7 +140,7 @@ def test_spmd_grads_match_single_device(setup):
                                    rtol=2e-3, atol=2e-5)
 
 
-def test_shard_relation_rejects_stub_and_hub():
+def test_shard_relation_rejects_stub_builds_hub():
     from pcgnn_tpu.graph.csr import csr_from_edges, degree_stub
     from pcgnn_tpu.parallel.spmd import shard_relation
 
@@ -149,7 +149,8 @@ def test_shard_relation_rejects_stub_and_hub():
     with pytest.raises(ValueError, match="stub"):
         shard_relation(stub, mesh, 16)
 
-    # a forced window cap creates hub rows -> sharded layout must refuse
+    # a forced window cap creates hub rows -> the sharded layout carries
+    # the compact hub sub-CSR (round-4: capped relations shard too)
     rng = np.random.default_rng(0)
     src = np.concatenate([rng.integers(0, 64, 256),
                           np.zeros(300, np.int64)])   # node 0 is a hub
@@ -157,8 +158,136 @@ def test_shard_relation_rejects_stub_and_hub():
                           rng.integers(0, 64, 300)])
     rel = csr_from_edges(src, dst, 64, window_cap=8)
     assert rel.has_hubs
-    with pytest.raises(NotImplementedError, match="window-capped"):
-        shard_relation(rel, mesh, 64)
+    sh = shard_relation(rel, mesh, 64)
+    assert sh.has_hubs and sh.hub_col is not None
+    # the hub map marks exactly the rows above the cap
+    deg = np.asarray(rel.deg)
+    hub_rows = np.flatnonzero(deg > rel.window_width)
+    hub_idx = np.asarray(sh.hub_idx)[:64]
+    assert set(np.flatnonzero(hub_idx >= 0)) == set(hub_rows)
+    for v in hub_rows:
+        hs = hub_idx[v]
+        s = int(np.asarray(sh.hub_start)[hs])
+        got = np.asarray(sh.hub_col)[s: s + deg[v]]
+        ip = np.asarray(rel.indptr)
+        want = np.asarray(rel.col)[ip[v]: ip[v] + deg[v]]
+        np.testing.assert_array_equal(got, want)
+
+
+@pytest.fixture(scope="module")
+def skew_setup():
+    g = synthetic_fraud_graph("skew-tiny", seed=5)
+    assert any(r.has_hubs for r in g.relations)
+    model = build_model("PCGNN", feat_dim=g.feat_dim, emb_dim=16,
+                        num_relations=3, alpha=2.0, rho=0.5)
+    params = model.init(jax.random.key(1))
+    labels = np.asarray(g.labels)
+    train_pos = np.flatnonzero(labels == 1)[:48]
+    tp = jnp.asarray(train_pos, jnp.int32)
+    tpv = jnp.ones(len(train_pos), bool)
+    rng = np.random.default_rng(3)
+    batch = rng.integers(0, g.num_nodes, 32)
+    # make sure hub rows and fraud centers are exercised
+    hub_nodes = np.flatnonzero(
+        np.asarray(g.relations[0].deg) > g.relations[0].window_width)
+    batch[:4] = hub_nodes[:4]
+    batch = jnp.asarray(batch, jnp.int32)
+    return g, model, params, labels, tp, tpv, batch
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("edge_windows", [False, True])
+def test_spmd_capped_matches_single_device(skew_setup, edge_windows):
+    """Window-capped (hub) relations shard: the SPMD step (hub lane +
+    plain/fast window lane) reproduces the single-chip loss and grads on a
+    skewed graph (VERDICT r3 'Next round' #1)."""
+    g, model, params, labels, tp, tpv, batch = skew_setup
+    mesh = make_mesh(data=2, graph=4)
+    x_sharded, n_pad = pad_graph_for_mesh(g, mesh)
+    shards = shard_relations(g, mesh, n_pad, edge_windows=edge_windows)
+    if edge_windows:
+        assert all(sh.ewin is not None for sh in shards)
+    loss_fn = spmd_loss_fn(model, mesh, n_pad, shards)
+
+    b = int(batch.shape[0])
+    y = jnp.asarray(labels[np.asarray(batch)], jnp.int32)
+    w = jnp.ones((b,), jnp.float32)
+    batch_s, y_s, w_s = shard_batch(mesh, batch, y, w)
+
+    g_spmd = jax.grad(lambda p: loss_fn(
+        p, x_sharded, shards, batch_s, y_s, w_s, tp, tpv))(params)
+    loss = loss_fn(params, x_sharded, shards, batch_s, y_s, w_s, tp, tpv)
+    ref = model.loss(params, g, batch, y, train_pos=tp, train_pos_valid=tpv)
+    g_ref = jax.grad(lambda p: model.loss(
+        p, g, batch, y, train_pos=tp, train_pos_valid=tpv))(params)
+    np.testing.assert_allclose(float(loss), float(ref), rtol=1e-4)
+    for a, b_ in zip(jax.tree.leaves(g_spmd), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-3, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_spmd_capped_predict_matches_single_device(skew_setup):
+    g, model, params, labels, tp, tpv, batch = skew_setup
+    mesh = make_mesh(data=4, graph=2)
+    x_sharded, n_pad = pad_graph_for_mesh(g, mesh)
+    shards = shard_relations(g, mesh, n_pad)
+    predict = spmd_predict_fn(model, mesh, n_pad, shards)
+    probs = predict(params, x_sharded, shards, shard_batch(mesh, batch),
+                    tp, tpv)
+    ref, _ = model.to_prob(params, g, batch, train=False,
+                           train_pos=tp, train_pos_valid=tpv)
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_ewin_store_is_sharded_and_local(setup):
+    """The fast-lane feature store shards 1/dg, and each block's windows
+    hold exactly the node's neighbor feature rows (local offsets)."""
+    g, model, params, labels, tp, tpv = setup
+    mesh = make_mesh(data=2, graph=4)
+    _, n_pad = pad_graph_for_mesh(g, mesh)
+    shards = shard_relations(g, mesh, n_pad)
+    feats = np.asarray(g.features)
+    block = n_pad // 4
+    for rel, sh in zip(g.relations, shards):
+        assert sh.ewin is not None
+        for arr in (sh.ewin, sh.estart):
+            per_dev = max(s.data.size * s.data.dtype.itemsize
+                          for s in arr.addressable_shards)
+            assert per_dev * 4 == arr.size * arr.dtype.itemsize
+        ewin = np.asarray(sh.ewin)
+        estart = np.asarray(sh.estart)
+        lb = ewin.size // 4
+        indptr = np.asarray(rel.indptr)
+        col = np.asarray(rel.col)
+        d, f = rel.window_width, feats.shape[1]
+        rng = np.random.default_rng(0)
+        for v in rng.integers(0, rel.num_nodes, size=16):
+            dc = min(int(np.asarray(rel.deg)[v]), d)
+            base = (v // block) * lb + estart[v]
+            got = ewin[base: base + dc * f].reshape(dc, f)
+            want = feats[col[indptr[v]: indptr[v] + dc]]
+            np.testing.assert_array_equal(got, want)
+
+
+def test_block_partials_chunked_matches_unchunked():
+    """VERDICT r3 'Next round' #4: the SPMD minor-feature compare/partials
+    run blockwise; blocking must not change values."""
+    from pcgnn_tpu.parallel.spmd import (_block_partials,
+                                         _block_partials_chunked)
+    rng = np.random.default_rng(0)
+    b, m, n, f, block = 16, 300, 64, 8, 16
+    ids = jnp.asarray(rng.integers(0, n, (b, m)), jnp.int32)
+    keep = jnp.asarray(rng.random((b, m)) < 0.3)
+    x_local = jnp.asarray(rng.normal(size=(block, f)), jnp.float32)
+    for col_lo in (0, 16, 48):
+        num0, cnt0 = _block_partials(ids, keep, col_lo, block, x_local)
+        num1, cnt1 = _block_partials_chunked(ids, keep, col_lo, block,
+                                             x_local, chunk=32)
+        np.testing.assert_allclose(np.asarray(num1), np.asarray(num0),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(cnt1), np.asarray(cnt0))
 
 
 @pytest.mark.slow

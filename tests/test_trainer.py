@@ -232,3 +232,64 @@ def test_load_config_yaml(tmp_path):
     assert cfg["batch_size"] == 1024  # defaults applied
     repo_yaml = load_config("configs/pcgnn_yelpchi.yml")
     assert repo_yaml["model"] == "PCGNN" and repo_yaml["data_name"] == "yelp"
+
+
+def test_f1_selection_mode(tmp_path, monkeypatch):
+    """``select: "f1"`` runs the reference's (f1) protocol
+    (model_handler(f1).py:142-178): validation F1 comes from the
+    100-threshold sweep, the gain rule selects on the swept F1-macro, and
+    the winning threshold transfers to the final test."""
+    monkeypatch.chdir(tmp_path)
+    from sklearn.metrics import f1_score
+
+    from pcgnn_tpu.train.metrics import evaluate, get_best_f1
+
+    t = Trainer(_cfg(tmp_path, select="f1", epochs=12, valid_epochs=4))
+    auc, recall, f1_macro = t.train()
+    assert t.valid_thresh is not None
+    assert 0.01 <= t.valid_thresh <= 0.99
+
+    # the stored threshold is the best-F1 sweep result on validation
+    val = evaluate(lambda nodes: t.predict_fn(t.best_params, nodes),
+                   t.idx_valid, t.y_valid, t.batch_size, print_line=False)
+    _, want_thresh = get_best_f1(t.y_valid, val.anomaly_confidence)
+    assert t.valid_thresh == want_thresh
+
+    # and the returned test F1-macro is computed AT that threshold
+    test = evaluate(lambda nodes: t.predict_fn(t.best_params, nodes),
+                    t.idx_test, t.y_test, t.batch_size, print_line=False)
+    preds = (test.anomaly_confidence > t.valid_thresh).astype(np.int64)
+    want_f1_macro = f1_score(t.y_test, preds, average="macro")
+    assert f1_macro == want_f1_macro
+    # AUC is threshold-free and must match the plain evaluation
+    assert auc == test.auc
+
+
+def test_f1_selection_default_off(tmp_path, monkeypatch):
+    """The default ("gain") protocol carries no threshold."""
+    monkeypatch.chdir(tmp_path)
+    t = Trainer(_cfg(tmp_path, epochs=3, valid_epochs=3))
+    t.train()
+    assert t.valid_thresh is None
+
+
+@pytest.mark.slow
+def test_spmd_trainer_skew_matches_single_chip(tmp_path, monkeypatch):
+    """``num_devices: 8`` on a heavy-tailed graph: window-capped relations
+    shard (hub lane + bf16 sharded edge-window store, the round-4 lanes)
+    and the trainer reproduces the single-chip run's final metrics
+    (VERDICT r3 'Next round' #1)."""
+    monkeypatch.chdir(tmp_path)
+    cfg = _cfg(tmp_path, seed=5, data_name="synthetic:skew-tiny",
+               epochs=6, valid_epochs=3)
+
+    t1 = Trainer(dict(cfg, num_devices=1))
+    assert any(r.has_hubs for r in t1.graph.relations)
+    m1 = np.array(t1.train())
+
+    t8 = Trainer(dict(cfg, num_devices=8))
+    assert any(sh.has_hubs for sh in t8._step_graph[1])
+    assert all(sh.ewin is not None for sh in t8._step_graph[1])
+    m8 = np.array(t8.train())
+
+    np.testing.assert_allclose(m8, m1, atol=0.02)
