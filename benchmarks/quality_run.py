@@ -23,6 +23,10 @@ SETTINGS = [
     ("synthetic:yelp-like", "GCN", 0.4, 0.01, 0.001, 1024),
     ("synthetic:yelp-like", "SAGE", 0.4, 0.01, 0.001, 1024),
     ("synthetic:amazon-like", "PCGNN", 0.4, 0.005, 0.0005, 256),
+    # heavy-tailed preset (reference YelpChi-RSR clique shape,
+    # src/utils.py:72-91): dmax ~ 16k routes through the blockwise hub
+    # lane (ops/hub.py) — proves the lane is quality-neutral at skew
+    ("synthetic:yelp-skew", "PCGNN", 0.4, 0.01, 0.001, 1024),
 ]
 
 

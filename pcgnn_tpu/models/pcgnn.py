@@ -128,6 +128,12 @@ class PCGNN:
         # contraction, so per-relation mixing changes nothing.
         use_ewin = bool(graph.relations) and all(
             rel.ewin is not None for rel in graph.relations)
+        # Fused record store: all relations' windows in ONE DMA per batch
+        # row (graph.csr._build_fused_store).  The window gather is
+        # DMA-dispatch-bound (~150 ns/row), so collapsing R gathers into
+        # one cuts the dominant stage ~R-fold; values are byte-identical
+        # copies of the per-relation stores.
+        use_fused = use_ewin and graph.fused is not None
         # Two score strategies with identical math (s = x·W_clf + b):
         #  * small graphs: ONE [N,F]x[F,2] matmul materializes every node's
         #    score; the score rides as an extra gathered feature column
@@ -179,7 +185,8 @@ class PCGNN:
             self_feats = x[batch]                          # [B, F]
 
         def window_s0(xw_rows):
-            """Score channel 0 of gathered feature rows ([..., F] -> [...])."""
+            """Selection score of feature rows ([..., F] -> [...]): the
+            shared contraction every selection comparison uses."""
             return jnp.dot(xw_rows, w0, precision="highest",
                            preferred_element_type=jnp.float32) + b0
 
@@ -230,6 +237,10 @@ class PCGNN:
             fcols = xs.shape[1]
             xs = jnp.concatenate(
                 [xs, jnp.zeros((1, fcols), xs.dtype)])     # sentinel row N
+
+        if use_fused:
+            from pcgnn_tpu.ops.aggregate import batch_record_window
+            rec = batch_record_window(graph, batch)        # [B, W] one DMA/row
 
         if train:
             # candidate ordering is relation-independent: sort once, keep the
@@ -282,8 +293,13 @@ class PCGNN:
                 offs = jax.lax.broadcasted_iota(
                     jnp.int32, (batch.shape[0], d_w), 1)
                 valid = offs < degs[:, None]
-                xw_feat = batch_feature_window(rel, batch, f,
-                                               starts=starts_b)
+                from pcgnn_tpu.ops.aggregate import (batch_raw_window,
+                                                     unpack_window)
+                raw = (rec[:, graph.fused_off[r]:
+                           graph.fused_off[r] + rel.ewin_dp] if use_fused
+                       else batch_raw_window(rel, batch, starts=starts_b))
+                xw_feat = unpack_window(raw, d_w, f, rel.ewin_fs,
+                                        rel.ewin_packed)
             else:
                 nbr, valid = batch_neighbor_window(rel, batch,
                                                    allow_capped=True)

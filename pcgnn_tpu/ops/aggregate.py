@@ -125,14 +125,21 @@ def batch_feature_window(rel: RelGraph, batch: jax.Array,
             f"{rel.ewin_f} the edge-window store was built with — the "
             f"store snapshots the graph's frozen features "
             f"(graph.csr.attach_edge_windows)")
-    from pcgnn_tpu.ops.pallas import window_gather
     d = max(rel.window_width, 1)
-    b = batch.shape[0]
+    raw = batch_raw_window(rel, batch, starts)
+    return unpack_window(raw, d, f, rel.ewin_fs, rel.ewin_packed)
+
+
+def batch_raw_window(rel: RelGraph, batch: jax.Array,
+                     starts: jax.Array | None = None) -> jax.Array:
+    """[B, ewin_dp] raw store words per batch row (one contiguous DMA
+    each); packed stores stay packed — unpack via :func:`unpack_window`
+    or contract the halves directly (:func:`packed_window_halves`)."""
+    from pcgnn_tpu.ops.pallas import window_gather
     if starts is None:
         starts = rel.estart[batch]
-    raw = window_gather.window_gather(rel.ewin, starts, rel.ewin_dp,
-                                      aligned=rel.ewin_aligned)
-    return unpack_window(raw, d, f, rel.ewin_fs, rel.ewin_packed)
+    return window_gather.window_gather(rel.ewin, starts, rel.ewin_dp,
+                                       aligned=rel.ewin_aligned)
 
 
 def unpack_window(raw: jax.Array, d: int, f: int, fs: int,
@@ -155,6 +162,20 @@ def unpack_window(raw: jax.Array, d: int, f: int, fs: int,
             u & jnp.uint32(0xFFFF0000), jnp.float32)
         return jnp.concatenate([lo, hi], axis=-1)[..., :f]
     return raw[:, : d * f].reshape(b, d, f)
+
+
+def batch_record_window(graph, batch: jax.Array) -> jax.Array:
+    """[B, W] fused per-node records: EVERY relation's neighbor-feature
+    window in ONE row fetch per batch row (``graph.csr._build_fused_store``).
+    A plain XLA 2D row gather — at the fused record width XLA's gather is
+    bandwidth-bound and beats the one-DMA-per-row kernel (probed on v5e).
+    Slice relation r's section at ``graph.fused_off[r]`` and unpack with
+    :func:`unpack_window`.
+    """
+    if graph.fused is None:
+        raise ValueError("batch_record_window needs the fused record store "
+                         "(graph.csr.materialize_edge_windows(fused=True))")
+    return graph.fused[batch]
 
 
 def self_union_feature_window(rel: RelGraph, batch: jax.Array,

@@ -290,6 +290,7 @@ class Trainer:
             return optax.apply_updates(params, updates), opt_state, loss
 
         self._step1_jit = jax.jit(_step1)
+        self._step1 = _step1
 
         def _predict(params, batch, graph, consts):
             probs, _ = model.to_prob(
@@ -336,9 +337,17 @@ class Trainer:
                                                             graph, consts)
         self._step_graph, self._step_consts = graph, consts
 
-    def single_step(self, params, opt_state, batch, y, w):
-        """(jitted_fn, full_args) for ONE training step — the profiling /
-        roofline entry point (pairs with ``utils.roofline.measure``)."""
+    def single_step(self, params, opt_state, batch, y, w, nscan: int = 1):
+        """(jitted_fn, full_args) for the training step — the profiling /
+        roofline entry point (pairs with ``utils.roofline.measure``).
+
+        ``nscan`` > 1 wraps the step in a ``lax.scan`` of that many
+        back-to-back iterations (params/opt state threaded through), so
+        one dispatch measures N device-resident steps: through a tunneled
+        runtime each dispatch costs ~0.3 ms of submit latency, which at
+        nscan=1 would be attributed to the ~0.6 ms step itself.  Divide
+        the measured wall time by ``nscan``.
+        """
         if self.mesh is not None:
             raise NotImplementedError(
                 "single_step is the single-chip roofline entry point; under "
@@ -349,7 +358,21 @@ class Trainer:
         args = (params, opt_state, jnp.asarray(batch, jnp.int32),
                 jnp.asarray(y, jnp.int32), jnp.asarray(w, jnp.float32), key,
                 self._step_graph, self._step_consts)
-        return self._step1_jit, args
+        if nscan == 1:
+            return self._step1_jit, args
+        step1 = self._step1
+
+        @jax.jit
+        def stepn(params, opt_state, batch, y, w, key, graph, consts):
+            def body(carry, _):
+                p, o = carry
+                p, o, loss = step1(p, o, batch, y, w, key, graph, consts)
+                return (p, o), loss
+            (p, o), losses = jax.lax.scan(body, (params, opt_state), None,
+                                          length=nscan)
+            return p, o, losses[-1]
+
+        return stepn, args
 
     # ------------------------------------------------------------------ #
 

@@ -444,3 +444,49 @@ def test_trainer_bf16_default_auc_close():
         aucs[dt] = res.auc
     assert aucs["float32"] > 0.6          # the run actually learned
     assert abs(aucs["bfloat16"] - aucs["float32"]) < 0.05, aucs
+
+
+def test_fused_record_store_exact():
+    """The fused per-node record store (one DMA per batch row for ALL
+    relations) is built by default and is value-identical to the
+    per-relation stores and to the raw-graph forward."""
+    g = synthetic_fraud_graph("small", seed=3)
+    ge = materialize_edge_windows(g, dtype=jnp.bfloat16)
+    gu = materialize_edge_windows(g, dtype=jnp.bfloat16, fused=False)
+    assert ge.fused is not None and gu.fused is None
+    assert ge.fused_w == sum(r.ewin_dp for r in ge.relations)
+    assert len(ge.fused_off) == len(ge.relations)
+
+    # record sections hold exactly the per-relation store runs
+    fused = np.asarray(ge.fused)
+    assert fused.shape[1] == ge.fused_w and fused.shape[0] >= g.num_nodes
+    for r, rel in enumerate(ge.relations):
+        ewin = np.asarray(rel.ewin)
+        estart = np.asarray(rel.estart)
+        o = ge.fused_off[r]
+        rng = np.random.default_rng(r)
+        for v in rng.integers(0, g.num_nodes, size=16):
+            np.testing.assert_array_equal(
+                fused[v, o: o + rel.ewin_dp],
+                ewin[estart[v]: estart[v] + rel.ewin_dp])
+
+    model, params, batch, by, tp, tpv = _pcgnn_setup(g)
+    for train in (True, False):
+        a = model.forward(params, ge, batch, by, train=train,
+                          train_pos=tp, train_pos_valid=tpv)
+        b = model.forward(params, gu, batch, by, train=train,
+                          train_pos=tp, train_pos_valid=tpv)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+def test_fused_skipped_when_ineligible(monkeypatch):
+    """No fused store without full aligned per-relation coverage (and the
+    model then falls back to per-relation gathers transparently)."""
+    from pcgnn_tpu.graph import csr as csr_mod
+
+    g = synthetic_fraud_graph("small", seed=3)
+    # force one relation over budget -> no store -> no fused
+    monkeypatch.setattr(csr_mod, "EWIN_TOTAL_BUDGET_BYTES", 1)
+    ge = materialize_edge_windows(g, total_budget_bytes=1)
+    assert ge.fused is None
