@@ -80,14 +80,24 @@ def bench_relation_kernels(graph, batch_size: int):
                  **res})
 
     if rel.ewin is not None:
-        # production path: one contiguous DMA per batch row from the
-        # edge-materialized store (ops.pallas.window_gather)
+        # per-relation store path: one contiguous DMA per batch row from
+        # the edge-materialized store (ops.pallas.window_gather)
         from pcgnn_tpu.ops.aggregate import batch_feature_window
         bw = jax.jit(lambda rel, b_: batch_feature_window(rel, b_, f))
         res = roofline.measure(bw, rel, batch,
                                analytic_bytes=b * d * f * 4 * 2)
         rows.append({"kernel": "window_gather_ewin",
                      "shape": f"[{b},{d},{f}]", **res})
+
+    if graph.fused is not None:
+        # production path: ALL relations' windows in one row fetch per
+        # batch node from the fused record table (graph.csr fused store)
+        fr = jax.jit(lambda t2d, b_: t2d[b_])
+        res = roofline.measure(
+            fr, graph.fused, batch,
+            analytic_bytes=batch_size * graph.fused_w * 4 * 2)
+        rows.append({"kernel": "fused_record_fetch",
+                     "shape": f"[{batch_size},{graph.fused_w}]", **res})
 
     dist = jnp.where(valid, jnp.abs(rng.standard_normal((b, d))).astype(
         jnp.float32), jnp.inf)
@@ -203,6 +213,16 @@ def bench_train_step(preset: str, batch_size: int, emb_size: int):
     rows.append({"kernel": "loss_grad", "shape": f"B={batch_size}", **res})
     res = roofline.measure(fn, *args, analytic_bytes=step_bytes)
     rows.append({"kernel": "train_step", "shape": f"B={batch_size}", **res})
+    # device-true step: 16 scanned steps per dispatch (per-call submit
+    # latency through a tunneled runtime otherwise lands in the step)
+    nscan = 16
+    fn16, args16 = t.single_step(params, opt_state, batch, y, w,
+                                 nscan=nscan)
+    res = roofline.measure(fn16, *args16,
+                           analytic_bytes=step_bytes * nscan)
+    res["wall_ms"] /= nscan
+    rows.append({"kernel": "train_step_scan16", "shape": f"B={batch_size}",
+                 **res})
     return rows
 
 

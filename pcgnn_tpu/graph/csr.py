@@ -175,10 +175,12 @@ class MultiRelGraph:
     # gathers.  The per-row descriptor cost dominates the window gather at
     # reference scale (it is dispatch-bound, not bandwidth-bound), so
     # fusing R=3 relations cuts the gather stage ~3x; at the fused record
-    # width (~24 KB/row) XLA's native 2D row gather beats even the
+    # width (~18 KB/row) XLA's native 2D row gather beats even the
     # one-DMA-per-row Pallas kernel (probed on v5e: 0.27 vs 0.38 ms at
     # B=1024), so the store is a plain [N_pad, W] table read as
-    # ``fused[batch]`` — no Pallas, no estart gather.
+    # ``fused[batch]`` — no Pallas, no estart gather, and sections are
+    # 128-granule tight (no per-relation 1024 alignment).  ``fused_off``
+    # holds R+1 offsets: section r spans [off[r], off[r+1]).
     fused: jax.Array | None = None               # [N_pad, fused_w] f32 words
     fused_w: int = dataclasses.field(default=0, metadata=dict(static=True))
     fused_off: tuple = dataclasses.field(default=(),
@@ -673,9 +675,18 @@ def _build_fused_store(rels, num_nodes: int, budget_bytes: int):
     if (not rels or num_nodes == 0
             or any(r.ewin is None or not r.ewin_aligned for r in rels)):
         return None, 0, ()
+    # tight sections: the XLA row gather has no alignment requirement, so
+    # each relation's section is its true window width rounded to the
+    # 128-lane granule — NOT the per-relation store's 1024-aligned dp
+    # (rel widths like 17 neighbors would pad 272 -> 1024 words and the
+    # record fetch is bandwidth-bound)
     dps = [r.ewin_dp for r in rels]
-    w = int(sum(dps))
-    off = tuple(int(x) for x in np.cumsum([0] + dps)[:-1])
+    secs_w = [_round_up(max(r.window_width, 1)
+                        * ((r.ewin_fs // 2) if r.ewin_packed else r.ewin_f),
+                        128) for r in rels]
+    w = int(sum(secs_w))
+    # R+1 offsets (trailing total): section r spans [off[r], off[r+1])
+    off = tuple(int(x) for x in np.cumsum([0] + secs_w))
     nblk = -(-num_nodes // _FUSED_CHUNK)
     n_rows = nblk * _FUSED_CHUNK
     if n_rows * w * 4 > budget_bytes:
@@ -689,10 +700,10 @@ def _build_fused_store(rels, num_nodes: int, budget_bytes: int):
             jnp.int32, (_FUSED_CHUNK, 1), 0)[:, 0]
         ids = jnp.minimum(ids, num_nodes - 1)
         secs = []
-        for t, es, dp in zip(tables, estarts, dps):
+        for t, es, dp, sw in zip(tables, estarts, dps, secs_w):
             ridx = (es[ids] // 1024)[:, None] + jnp.arange(
                 dp // 1024, dtype=jnp.int32)[None, :]
-            secs.append(t[ridx].reshape(_FUSED_CHUNK, dp))
+            secs.append(t[ridx].reshape(_FUSED_CHUNK, dp)[:, :sw])
         rec = jnp.concatenate(secs, axis=1)
         return jax.lax.dynamic_update_slice(buf, rec, (i0, 0))
 

@@ -40,6 +40,7 @@ from pcgnn_tpu.ops.aggregate import (
     keep_nearest,
     minor_dedup_threshold,
     minor_sum,
+    minor_sum_compact,
     oversample_candidates_values,
     oversample_keep,
     window_sum_from_gathered,
@@ -254,7 +255,8 @@ class PCGNN:
                 tp_s0 = window_s0(sel_round(tp_rows_f))    # [P]
             else:
                 tp_s0 = s0_sg[train_pos]
-            cand_ids, cand_valid, cand_dist = oversample_candidates_values(
+            (cand_ids, cand_valid, cand_dist,
+             cand_slots) = oversample_candidates_values(
                 center_s0, tp_s0, train_pos, train_pos_valid, m_max)
 
         rel_embs = []
@@ -295,8 +297,8 @@ class PCGNN:
                 valid = offs < degs[:, None]
                 from pcgnn_tpu.ops.aggregate import (batch_raw_window,
                                                      unpack_window)
-                raw = (rec[:, graph.fused_off[r]:
-                           graph.fused_off[r] + rel.ewin_dp] if use_fused
+                raw = (rec[:, graph.fused_off[r]: graph.fused_off[r + 1]]
+                       if use_fused
                        else batch_raw_window(rel, batch, starts=starts_b))
                 xw_feat = unpack_window(raw, d_w, f, rel.ewin_fs,
                                         rel.ewin_packed)
@@ -340,7 +342,15 @@ class PCGNN:
                 # the hub lane by distance instead
                 keep_minor = dedup_minor_keep(nbr, keep, n, cand_ids,
                                               keep_minor)
-                m_num, m_cnt = minor_sum(xs, cand_ids, keep_minor, f)
+                if score_from_window:
+                    # minor rows come from the COMPACT [P, F] tp table —
+                    # the full-table gather + its layout copies were
+                    # ~156 us/step at yelp scale (the step's largest
+                    # block after the fused fetch)
+                    m_num, m_cnt = minor_sum_compact(tp_rows_f, cand_slots,
+                                                     keep_minor)
+                else:
+                    m_num, m_cnt = minor_sum(xs, cand_ids, keep_minor, f)
                 num, cnt = num + m_num, cnt + m_cnt
             agg = num / jnp.maximum(cnt, 1.0)[:, None]
             cat = jnp.concatenate([self_feats, agg], axis=1)    # [B, 2F]

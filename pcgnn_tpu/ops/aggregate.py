@@ -300,13 +300,15 @@ def oversample_candidates_dense_values(
     cand_ids = train_pos[order]
     cand_valid = train_pos_valid[order] & jnp.isfinite(neg_top)
     cand_dist = -neg_top
+    cand_slots = order.astype(jnp.int32)
     if k < m_max:  # fewer candidates than the static bound: pad invalid
         padw = m_max - k
         cand_ids = jnp.pad(cand_ids, ((0, 0), (0, padw)))
         cand_valid = jnp.pad(cand_valid, ((0, 0), (0, padw)))
         cand_dist = jnp.pad(cand_dist, ((0, 0), (0, padw)),
                             constant_values=_INF)
-    return cand_ids, cand_valid, cand_dist
+        cand_slots = jnp.pad(cand_slots, ((0, 0), (0, padw)))
+    return cand_ids, cand_valid, cand_dist, cand_slots
 
 
 def oversample_candidates(
@@ -362,6 +364,10 @@ def oversample_candidates_values(
       cand_dist:  [B, m_max] f32 the (exact) candidate distances, ascending;
         +inf at invalid slots.  Row m-1 is the dedup threshold the hub lane
         uses to spot kept neighbors that are also selected minors.
+      cand_slots: [B, m_max] int32 candidate positions into ``train_pos``
+        (0 at invalid slots) — lets consumers gather minor features from
+        the COMPACT [P, F] train-positive table (``minor_sum_compact``)
+        instead of the full node table.
     """
     p = int(train_pos.shape[0])
     if 2 * m_max >= p:
@@ -424,14 +430,15 @@ def oversample_candidates_values(
     # tie order (equal distances can come from both sides of the center, so
     # window order alone is NOT the slot order); take the m_max nearest.
     # The ids are carried as a third sort operand instead of re-gathered.
-    d_sorted, _, tpids_out = jax.lax.sort((d, win_slots, win_tpids),
-                                          num_keys=2)
+    d_sorted, slots_out, tpids_out = jax.lax.sort((d, win_slots, win_tpids),
+                                                  num_keys=2)
     d_sorted = d_sorted[:, :m_max]
     cand_valid = jnp.isfinite(d_sorted)
-    # invalid slots carry id 0 (in bounds; every consumer masks on
+    # invalid slots carry id/slot 0 (in bounds; every consumer masks on
     # cand_valid / keep_minor before use)
     cand_ids = jnp.where(cand_valid, tpids_out[:, :m_max], 0)
-    return cand_ids, cand_valid, d_sorted
+    cand_slots = jnp.where(cand_valid, slots_out[:, :m_max], 0)
+    return cand_ids, cand_valid, d_sorted, cand_slots
 
 
 def oversample_keep(
@@ -671,6 +678,45 @@ def minor_sum(xs_padded: jax.Array, cand_ids: jax.Array,
     return jax.lax.fori_loop(
         0, nblk, body,
         (jnp.zeros((b, f), xs_padded.dtype), jnp.zeros((b,), xs_padded.dtype)))
+
+
+def minor_sum_compact(tp_feats: jax.Array, cand_slots: jax.Array,
+                      keep_minor: jax.Array):
+    """(num [B, F], cnt [B]) of selected oversampled minors, gathered from
+    the COMPACT [P, F] train-positive feature table by candidate slot.
+
+    Same rows exactly as ``minor_sum``'s full-table gather
+    (``tp_feats[slot] == x[train_pos[slot]]``), but the gather addresses a
+    KB-scale table instead of the whole node table.  Wide candidate
+    windows run in ``MINOR_CHUNK`` blocks (memory O(B·chunk·F)); selection
+    is non-differentiable and the features frozen, so no VJP is needed.
+    """
+    b, m = cand_slots.shape
+    p, f = tp_feats.shape
+    tp_feats = jax.lax.stop_gradient(tp_feats)
+    slots = jnp.clip(jax.lax.stop_gradient(cand_slots), 0, p - 1)
+    if m <= MINOR_CHUNK:
+        km = keep_minor.astype(tp_feats.dtype)
+        num = jnp.einsum("bm,bmf->bf", km, tp_feats[slots])
+        return num, jnp.sum(km, axis=1)
+    km_all = jax.lax.stop_gradient(keep_minor)
+    c = MINOR_CHUNK
+    nblk = -(-m // c)
+    if nblk * c != m:
+        slots = jnp.pad(slots, ((0, 0), (0, nblk * c - m)))
+        km_all = jnp.pad(km_all, ((0, 0), (0, nblk * c - m)))
+
+    def body(j, acc):
+        num, cnt = acc
+        sb = jax.lax.dynamic_slice(slots, (0, j * c), (b, c))
+        kb = jax.lax.dynamic_slice(km_all, (0, j * c), (b, c))
+        km = kb.astype(tp_feats.dtype)
+        num = num + jnp.einsum("bm,bmf->bf", km, tp_feats[sb])
+        return num, cnt + jnp.sum(km, axis=1)
+
+    return jax.lax.fori_loop(
+        0, nblk, body, (jnp.zeros((b, f), tp_feats.dtype),
+                        jnp.zeros((b,), tp_feats.dtype)))
 
 
 def minor_dedup_threshold(rel: RelGraph, batch: jax.Array,

@@ -558,7 +558,7 @@ def spmd_forward_fn(model: PCGNN, mesh: Mesh, n_pad: int, shards: tuple,
                 tp_local, 0, block - 1)])                      # [P, F]
             tp_s0 = s0_of(tp_feats)
             m_max = model.minor_window(int(train_pos.shape[0]), shards)
-            cand_ids, cand_valid, cand_dist = oversample_candidates_values(
+            cand_ids, cand_valid, cand_dist, _ = oversample_candidates_values(
                 center_s0, tp_s0, train_pos, train_pos_valid, m_max)
             is_fraud = (y == 1)
             any_hub = any(sh.has_hubs for sh in shards)

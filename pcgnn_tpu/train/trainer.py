@@ -364,12 +364,18 @@ class Trainer:
 
         @jax.jit
         def stepn(params, opt_state, batch, y, w, key, graph, consts):
-            def body(carry, _):
+            def body(carry, i):
                 p, o = carry
-                p, o, loss = step1(p, o, batch, y, w, key, graph, consts)
+                # rotate the batch per iteration: with an identical batch
+                # XLA hoists every batch-dependent gather (record fetch,
+                # node_pack row) out of the scan, undercounting the step
+                p, o, loss = step1(p, o, jnp.roll(batch, i),
+                                   jnp.roll(y, i), jnp.roll(w, i), key,
+                                   graph, consts)
                 return (p, o), loss
-            (p, o), losses = jax.lax.scan(body, (params, opt_state), None,
-                                          length=nscan)
+            (p, o), losses = jax.lax.scan(
+                body, (params, opt_state),
+                jnp.arange(nscan, dtype=jnp.int32))
             return p, o, losses[-1]
 
         return stepn, args

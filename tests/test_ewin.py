@@ -454,21 +454,24 @@ def test_fused_record_store_exact():
     ge = materialize_edge_windows(g, dtype=jnp.bfloat16)
     gu = materialize_edge_windows(g, dtype=jnp.bfloat16, fused=False)
     assert ge.fused is not None and gu.fused is None
-    assert ge.fused_w == sum(r.ewin_dp for r in ge.relations)
-    assert len(ge.fused_off) == len(ge.relations)
+    assert len(ge.fused_off) == len(ge.relations) + 1
+    assert ge.fused_w == ge.fused_off[-1]
 
-    # record sections hold exactly the per-relation store runs
+    # record sections hold exactly the per-relation store runs (tight
+    # 128-granule sections; compare each node's true packed-word run)
     fused = np.asarray(ge.fused)
     assert fused.shape[1] == ge.fused_w and fused.shape[0] >= g.num_nodes
     for r, rel in enumerate(ge.relations):
         ewin = np.asarray(rel.ewin)
         estart = np.asarray(rel.estart)
         o = ge.fused_off[r]
+        fw = rel.ewin_fs // 2 if rel.ewin_packed else rel.ewin_f
         rng = np.random.default_rng(r)
         for v in rng.integers(0, g.num_nodes, size=16):
+            run = min(int(np.asarray(rel.deg)[v]), rel.window_width) * fw
             np.testing.assert_array_equal(
-                fused[v, o: o + rel.ewin_dp],
-                ewin[estart[v]: estart[v] + rel.ewin_dp])
+                fused[v, o: o + run],
+                ewin[estart[v]: estart[v] + run])
 
     model, params, batch, by, tp, tpv = _pcgnn_setup(g)
     for train in (True, False):

@@ -214,8 +214,13 @@ def test_oversample_candidates_windowed_matches_dense_oracle():
         batch = rng.integers(0, n, size=b).astype(np.int32)
         args = (jnp.asarray(batch), jnp.asarray(s0), jnp.asarray(tp),
                 jnp.asarray(tpv), m)
-        a_ids, a_val, a_d = oversample_candidates(*args)
-        d_ids, d_val, d_d = oversample_candidates_dense(*args)
+        a_ids, a_val, a_d, a_sl = oversample_candidates(*args)
+        d_ids, d_val, d_d, d_sl = oversample_candidates_dense(*args)
+        # slots address train_pos: ids must equal train_pos[slots] at
+        # valid positions (the compact minor-gather contract)
+        for ids, val, sl in ((a_ids, a_val, a_sl), (d_ids, d_val, d_sl)):
+            ids, val, sl = map(np.asarray, (ids, val, sl))
+            assert (np.where(val, tp[sl], -1) == np.where(val, ids, -1)).all()
         a_ids, a_val = np.asarray(a_ids), np.asarray(a_val)
         d_ids, d_val = np.asarray(d_ids), np.asarray(d_val)
         # returned distances must match the recomputed |s0_c - s0_p| at the
