@@ -40,7 +40,7 @@ from pcgnn_tpu.ops.aggregate import (
     keep_nearest,
     minor_dedup_threshold,
     minor_sum,
-    minor_sum_compact,
+    minor_sum_compact_multi,
     oversample_candidates_values,
     oversample_keep,
     window_sum_from_gathered,
@@ -260,6 +260,7 @@ class PCGNN:
                 center_s0, tp_s0, train_pos, train_pos_valid, m_max)
 
         rel_embs = []
+        rel_sums = []   # per relation (num, cnt, pending keep_minor)
         for r, rel in enumerate(graph.relations):
             ksample_b = None
             use_ew = rel.ewin is not None and score_from_window
@@ -333,6 +334,7 @@ class PCGNN:
                     tp_col=tp_col if train else None, minor_thresh=thr)
                 num = jnp.where(is_hub[:, None], h_num, num)
                 cnt = jnp.where(is_hub, h_cnt, cnt)
+            keep_minor = None
             if train:
                 keep_minor = oversample_keep(
                     rel, batch, batch_labels, cand_valid, self.rho,
@@ -342,16 +344,25 @@ class PCGNN:
                 # the hub lane by distance instead
                 keep_minor = dedup_minor_keep(nbr, keep, n, cand_ids,
                                               keep_minor)
-                if score_from_window:
-                    # minor rows come from the COMPACT [P, F] tp table —
-                    # the full-table gather + its layout copies were
-                    # ~156 us/step at yelp scale (the step's largest
-                    # block after the fused fetch)
-                    m_num, m_cnt = minor_sum_compact(tp_rows_f, cand_slots,
-                                                     keep_minor)
-                else:
+                if not score_from_window:
                     m_num, m_cnt = minor_sum(xs, cand_ids, keep_minor, f)
-                num, cnt = num + m_num, cnt + m_cnt
+                    num, cnt = num + m_num, cnt + m_cnt
+                    keep_minor = None
+            rel_sums.append((num, cnt, keep_minor))
+
+        if train and score_from_window and graph.relations:
+            # minor rows come from the COMPACT [P, F] tp table (the
+            # full-node-table gather + its layout copies were ~156 us/step
+            # at yelp scale), and the chunked feature gather — the
+            # dominant, relation-INDEPENDENT cost — runs once for all
+            # relations (minor_sum_compact_multi; ~3x on skew graphs
+            # where M reaches the candidate-pool size)
+            minors = minor_sum_compact_multi(
+                tp_rows_f, cand_slots, [km for _, _, km in rel_sums])
+            rel_sums = [(num + mn, cnt + mc, None)
+                        for (num, cnt, _), (mn, mc) in zip(rel_sums, minors)]
+
+        for r, (num, cnt, _) in enumerate(rel_sums):
             agg = num / jnp.maximum(cnt, 1.0)[:, None]
             cat = jnp.concatenate([self_feats, agg], axis=1)    # [B, 2F]
             h = jax.nn.relu(jnp.dot(cat, params["intra"][r]["w"],

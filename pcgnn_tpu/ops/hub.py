@@ -42,9 +42,14 @@ import jax.numpy as jnp
 from pcgnn_tpu.graph.csr import RelGraph
 from pcgnn_tpu.ops.aggregate import _INF, keep_nearest
 
-# chunk: hub rows processed per while-loop iteration.
+# chunk: hub rows processed per while-loop iteration.  Each chunk sweeps
+# ceil(max_deg_in_chunk / block) blocks for ALL its rows, so per-chunk
+# work is chunk x max_deg — small chunks + degree-descending row order
+# (see _run_hub_chunks) keep it near sum(deg) instead of
+# n_hub x global_dmax (measured 9x on yelp-skew: a batch mixes deg-16k
+# hubs with deg-200 ones).
 # block: CSR edge-tail slots swept per inner iteration (multiple of 128).
-HUB_CHUNK = 128
+HUB_CHUNK = 32
 HUB_BLOCK = 512
 
 
@@ -73,16 +78,26 @@ def _window_block(col: jax.Array, starts: jax.Array, j: jax.Array,
 
 
 def _run_hub_chunks(is_hub: jax.Array, chunk: int, f: int, dtype,
-                    chunk_fn):
+                    chunk_fn, deg=None):
     """Compact hub rows to the front, run ``chunk_fn`` per chunk of
     ``chunk`` rows (dynamic trip count = ceil(n_hub/chunk)), and
     un-permute the per-row (num, cnt) results back to batch order.
 
     ``chunk_fn(rows_slot [chunk], active [chunk]) -> (num, cnt)`` where
     ``rows_slot`` are *batch positions*.  Non-hub rows return zeros.
+
+    ``deg`` ([B], optional): order hub rows by DESCENDING degree so each
+    chunk's rows have similar tail lengths — a chunk sweeps
+    ceil(max_deg/block) blocks for all its rows, so mixing a deg-16k hub
+    with deg-200 ones multiplies the swept slots ~max/mean-fold.
     """
     b = is_hub.shape[0]
-    order = jnp.argsort(~is_hub, stable=True).astype(jnp.int32)
+    if deg is not None:
+        # hubs first, heaviest first; non-hubs keyed far above any degree
+        key = jnp.where(is_hub, -deg.astype(jnp.int64), jnp.int64(1) << 60)
+        order = jnp.argsort(key, stable=True).astype(jnp.int32)
+    else:
+        order = jnp.argsort(~is_hub, stable=True).astype(jnp.int32)
     n_h = jnp.sum(is_hub.astype(jnp.int32))
     bp = _round_up(b, chunk)
     order_p = jnp.pad(order, (0, bp - b))
@@ -200,7 +215,8 @@ def hub_choose_sum(
             0, jb, pass2, (jnp.zeros((chunk, f), xs.dtype),
                            jnp.zeros((chunk,), xs.dtype)))
 
-    return _run_hub_chunks(is_hub, chunk, f, xs.dtype, chunk_fn)
+    return _run_hub_chunks(is_hub, chunk, f, xs.dtype, chunk_fn,
+                           deg=jax.lax.stop_gradient(rel.deg[batch]))
 
 
 def hub_mean_sum(
@@ -249,4 +265,5 @@ def hub_mean_sum(
             cnt = cnt + miss
         return num, cnt
 
-    return _run_hub_chunks(is_hub, chunk, f, x_padded.dtype, chunk_fn)
+    return _run_hub_chunks(is_hub, chunk, f, x_padded.dtype, chunk_fn,
+                           deg=jax.lax.stop_gradient(rel.deg[batch]))

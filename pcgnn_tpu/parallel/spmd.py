@@ -456,7 +456,9 @@ def _spmd_hub_sum(sh: ShardedRel, is_hub, hslot, s0_full, center_s0,
             0, jb, pass2, (jnp.zeros((HUB_CHUNK, f), x_local.dtype),
                            jnp.zeros((HUB_CHUNK,), x_local.dtype)))
 
-    return _run_hub_chunks(is_hub, HUB_CHUNK, f, x_local.dtype, chunk_fn)
+    deg_o = jnp.where(is_hub, sh.hub_deg[jnp.clip(hslot, 0, h_pad - 1)], 0)
+    return _run_hub_chunks(is_hub, HUB_CHUNK, f, x_local.dtype, chunk_fn,
+                           deg=deg_o)
 
 
 def _minor_thresh_from(ks_b, batch_labels, cand_valid, cand_dist, rho):
