@@ -492,7 +492,26 @@ def scatter_batch_mask(
     keep_minor: jax.Array | None = None,
 ) -> jax.Array:
     """Scatter kept neighbors (and oversampled minors) into a dense [B, N]
-    0/1 mask with set semantics (duplicates clamp to 1)."""
+    0/1 mask with set semantics (duplicates clamp to 1).
+
+    This is the mask-GEMM lane (the reference's ``src/layers.py:594-624``
+    formulation) — the cross-check oracle, and the right path when
+    gradients must flow into the feature table (learned embeddings).  On
+    TPU the XLA scatter-add lowers to a serialized update loop, so the
+    build dispatches to the compare-based Pallas kernel
+    (``ops.pallas.mask_build``) when it is available; the minors window
+    is folded in by column concatenation (OR-accumulation = the same set
+    semantics).
+    """
+    from pcgnn_tpu.ops.pallas import mask_build
+    if mask_build.available():
+        nbr_all, keep_all = nbr, keep
+        if minor_ids is not None:
+            mids = (jnp.broadcast_to(minor_ids[None, :], keep_minor.shape)
+                    if minor_ids.ndim == 1 else minor_ids)
+            nbr_all = jnp.concatenate([nbr, mids], axis=1)
+            keep_all = jnp.concatenate([keep, keep_minor], axis=1)
+        return mask_build.build_batch_mask(nbr_all, keep_all, num_nodes)
     b = nbr.shape[0]
     mask = jnp.zeros((b, num_nodes + 1), dtype=jnp.float32)
     rows = jax.lax.broadcasted_iota(jnp.int32, nbr.shape, 0)

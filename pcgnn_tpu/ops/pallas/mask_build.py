@@ -90,3 +90,30 @@ def build_batch_mask(nbr: jax.Array, keep: jax.Array, num_nodes: int,
         interpret=interpret,
     )(nbr)
     return out[:b, :num_nodes]
+
+
+_SUPPORTED: bool | None = None
+
+
+def available() -> bool:
+    """True when the kernel compiles and runs on the default backend
+    (AOT-probed once per process; same loud-by-design pattern as
+    ``window_gather.available``)."""
+    global _SUPPORTED
+    if _SUPPORTED is None:
+        try:
+            import numpy as np
+            nbr = np.asarray([[0, 2, 5, 5], [1, 1, 3, 5]], np.int32)
+            keep = np.asarray([[1, 1, 0, 0], [1, 1, 1, 0]], bool)
+            fn = jax.jit(functools.partial(build_batch_mask, num_nodes=5))
+            compiled = fn.lower(
+                jax.ShapeDtypeStruct(nbr.shape, jnp.int32),
+                jax.ShapeDtypeStruct(keep.shape, jnp.bool_)).compile()
+            out = np.asarray(jax.device_get(compiled(nbr, keep)))
+            want = np.zeros((2, 5), np.float32)
+            want[0, [0, 2]] = 1
+            want[1, [1, 3]] = 1
+            _SUPPORTED = bool(np.array_equal(out, want))
+        except Exception:
+            _SUPPORTED = False
+    return _SUPPORTED
