@@ -1,19 +1,24 @@
-"""Multi-host scaling harness: the SPMD train step over 1 vs N local
-processes coordinated by ``jax.distributed`` (('dcn', 'data', 'graph')
-mesh, ``parallel.distributed``).
+"""Multi-host scaling harness: the PRODUCT surface (``python -m
+pcgnn_tpu.cli`` with ``distributed: true``) over 1 vs N local processes.
 
-BASELINE.json's ladder is "edges/s scaling efficiency at 1 chip, 1 host,
-N>=2 hosts (target >=80% 1 host -> 2 hosts)".  Without pod hardware this
-runs each "host" as a local process with ``--xla_force_host_platform_
-device_count`` virtual CPU devices — it validates the full multi-process
-stack (coordinator, dcn-axis batch sharding, loss psum crossing process
-boundaries) and reports *relative* weak-scaling numbers bounded by host
-cores, not DCN-grade scaling.
+Since round 5 this launches the real CLI per process — the Trainer itself
+initializes ``jax.distributed``, builds the ('dcn', 'data', 'graph') mesh
+and trains (VERDICT r4 Missing #1); the harness only sets up the gang
+environment and times whole runs.  BASELINE.json's ladder is "edges/s
+scaling efficiency at 1 chip, 1 host, N>=2 hosts (target >=80% 1 host ->
+2 hosts)".  Without pod hardware each "host" is a local process with
+``--xla_force_host_platform_device_count`` virtual CPU devices: this
+validates the full multi-process product stack (coordinator, dcn-axis
+batch sharding, loss psum crossing process boundaries, replicated eval)
+and reports *relative* numbers bounded by host cores, not DCN-grade
+scaling.
+
+Per process count it runs the CLI twice — ``--epochs warm`` and
+``--epochs warm+measure`` — and differences the wall times, so compile
+and data-build time cancel.
 
 Usage: python benchmarks/multihost_scaling.py [--procs 2]
-       [--devices_per_proc 4] [--preset small] [--steps 8]
-Prints one JSON line per process count and a summary with
-``weak_scaling_eff`` (rows/s per process vs the 1-process run).
+       [--devices_per_proc 4] [--preset small] [--epochs 6]
 """
 
 from __future__ import annotations
@@ -23,6 +28,7 @@ import json
 import os
 import sys
 import tempfile
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -30,88 +36,69 @@ sys.path.insert(0, REPO)
 from pcgnn_tpu.utils.multiproc import (cpu_worker_env, gang_with_fresh_port,
                                        run_workers)
 
+# environment shim only: pin the virtual CPU mesh + process id, then hand
+# off to the unmodified CLI entry point
 _WORKER = """
-import json, os, sys, time
-pid, nproc, port, out, preset, steps, bpd, dpp = (
+import os, sys
+pid, nproc, port, cfg_path, dpp, workdir = (
     int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4],
-    sys.argv[5], int(sys.argv[6]), int(sys.argv[7]), int(sys.argv[8]))
+    int(sys.argv[5]), sys.argv[6])
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
     + f" --xla_force_host_platform_device_count={{dpp}}").strip()
+os.environ["PCGNN_PROCESS_ID"] = str(pid)
+os.makedirs(os.path.join(workdir, str(pid)), exist_ok=True)
+os.chdir(os.path.join(workdir, str(pid)))
 sys.path.insert(0, {repo!r})
 import jax
 jax.config.update("jax_platforms", "cpu")
-
-from pcgnn_tpu.parallel.distributed import init_distributed, make_multihost_mesh
-init_distributed(f"localhost:{{port}}", nproc, pid)
-
-import jax.numpy as jnp
-import numpy as np
-from pcgnn_tpu.data.synthetic import synthetic_fraud_graph
-from pcgnn_tpu.models import build_model
-from pcgnn_tpu.parallel.spmd import (
-    make_spmd_train_step, pad_graph_for_mesh, shard_batch, shard_relations)
-from pcgnn_tpu.train.trainer import torch_adam
-
-mesh = make_multihost_mesh(graph=2)
-g = synthetic_fraud_graph(preset, seed=2)
-model = build_model("PCGNN", feat_dim=g.feat_dim, emb_dim=64,
-                    num_relations=g.num_relations, alpha=2.0, rho=0.5)
-params = model.init(jax.random.key(0))
-labels = np.asarray(g.labels)
-train_pos = np.flatnonzero(labels == 1)[:256]
-tp = jnp.asarray(train_pos, jnp.int32)
-tpv = jnp.ones(len(train_pos), bool)
-tx = torch_adam(0.01, 0.001)
-
-x_sharded, n_pad = pad_graph_for_mesh(g, mesh)
-shards = shard_relations(g, mesh, n_pad)
-step = make_spmd_train_step(model, mesh, tx, x_sharded, shards, n_pad)
-opt_state = tx.init(params)
-
-b = bpd * mesh.shape["dcn"] * mesh.shape["data"]
-rng = np.random.default_rng(0)
-batch = jnp.asarray(rng.integers(0, g.num_nodes, b), jnp.int32)
-y = jnp.asarray(labels[np.asarray(batch)], jnp.int32)
-w = jnp.ones((b,), jnp.float32)
-batch, y, w = shard_batch(mesh, batch, y, w)
-
-params, opt_state, loss = step(params, opt_state, batch, y, w, tp, tpv)
-jax.block_until_ready(loss)     # CPU backend: reliable barrier
-t0 = time.perf_counter()
-for _ in range(steps):
-    params, opt_state, loss = step(params, opt_state, batch, y, w, tp, tpv)
-jax.block_until_ready(loss)
-dt = (time.perf_counter() - t0) / steps
-if pid == 0:
-    with open(out, "w") as f:
-        json.dump(dict(procs=nproc, batch=b, step_ms=dt * 1e3,
-                       rows_per_s=b / dt, loss=float(loss)), f)
+sys.argv = ["pcgnn_tpu", "--exp_config_path", cfg_path]
+from pcgnn_tpu.cli import main
+main()
 """
 
 
-def run_procs(nproc: int, args) -> dict:
+def run_cli_gang(nproc: int, args, epochs: int) -> float:
+    """Launch the CLI on ``nproc`` processes; returns wall seconds."""
     tmp = tempfile.mkdtemp()
     worker = os.path.join(tmp, "worker.py")
     with open(worker, "w") as f:
         f.write(_WORKER.format(repo=REPO))
-    out = os.path.join(tmp, "result.json")
-    gang_with_fresh_port(lambda port: run_workers(
-        worker,
-        [(pid, nproc, port, out, args.preset, args.steps,
-          args.batch_per_data, args.devices_per_proc)
-         for pid in range(nproc)],
-        env=cpu_worker_env(), timeout=900))
-    with open(out) as f:
-        return json.load(f)
+    cfg = dict(seed=2, data_name=f"synthetic:{args.preset}", model="PCGNN",
+               train_ratio=0.4, test_ratio=0.67, emb_size=64, lr=0.01,
+               weight_decay=0.001, alpha=2.0, rho=0.5, epochs=epochs,
+               valid_epochs=10 ** 9, patience=10 ** 9, exp_num=0,
+               batch_size=args.batch_per_data * nproc * (
+                   args.devices_per_proc // args.mesh_graph),
+               distributed=(nproc > 1), num_processes=nproc,
+               mesh_graph=args.mesh_graph,
+               # nproc == 1: the plain single-process SPMD mesh over the
+               # same per-process device count (the scaling baseline)
+               num_devices=(1 if nproc > 1 else args.devices_per_proc))
+    cfg_path = os.path.join(tmp, "cfg.json")
+
+    def launch(port):
+        cfg["coordinator_address"] = f"localhost:{port}"
+        with open(cfg_path, "w") as f:
+            json.dump(cfg, f)
+        t0 = time.perf_counter()
+        run_workers(worker,
+                    [(pid, nproc, port, cfg_path, args.devices_per_proc, tmp)
+                     for pid in range(nproc)],
+                    env=cpu_worker_env(), timeout=1800)
+        return time.perf_counter() - t0
+
+    return gang_with_fresh_port(launch)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--procs", type=int, default=2)
     ap.add_argument("--devices_per_proc", type=int, default=4)
+    ap.add_argument("--mesh_graph", type=int, default=2)
     ap.add_argument("--preset", default="small")
     ap.add_argument("--batch_per_data", type=int, default=256)
-    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--epochs", type=int, default=6)
+    ap.add_argument("--warm_epochs", type=int, default=1)
     args = ap.parse_args()
 
     ladder = []
@@ -119,25 +106,24 @@ def main():
     while n <= args.procs:
         ladder.append(n)
         n *= 2
-    if ladder[-1] != args.procs:  # non-power-of-2: measure it too
+    if ladder[-1] != args.procs:
         ladder.append(args.procs)
-    # weak_scaling_eff is computed against the first (1-process) run BEFORE
-    # each record is printed, so the streamed per-line records carry the
-    # same fields as the final summary
-    results = []
-    base = None
+
+    results, base = [], None
     for n in ladder:
-        rec = run_procs(n, args)
+        t_warm = run_cli_gang(n, args, args.warm_epochs)
+        t_full = run_cli_gang(n, args, args.warm_epochs + args.epochs)
+        dt = max(t_full - t_warm, 1e-9) / args.epochs
+        rec = dict(procs=n, epoch_s=round(dt, 3),
+                   epochs_per_s=round(1.0 / dt, 4),
+                   warm_s=round(t_warm, 1))
         if base is None:
             base = rec
-        rec["weak_scaling_eff"] = round(
-            (rec["rows_per_s"] / base["rows_per_s"])
-            / (rec["batch"] / base["batch"]), 3)
+        rec["scaling_eff"] = round(
+            rec["epochs_per_s"] / base["epochs_per_s"], 3)
         results.append(rec)
         print(json.dumps(rec), flush=True)
-    print(json.dumps({"summary": [
-        {k: r[k] for k in ("procs", "batch", "step_ms", "rows_per_s",
-                           "weak_scaling_eff")} for r in results]}))
+    print(json.dumps({"summary": results}))
 
 
 if __name__ == "__main__":

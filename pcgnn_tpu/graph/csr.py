@@ -58,6 +58,13 @@ class RelGraph:
     # static bound on ksample over all nodes: sizes the compact oversample
     # candidate window (ops.aggregate.oversample_candidates)
     ksample_max: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # static bound on ksample over WINDOW-LANE rows only (deg <= dcap).
+    # Hub rows' minors run through the hub lane's exact band selection
+    # (ops.hub.chunk_minor_band), so the per-row compact candidate window
+    # only needs to cover non-hub requests — on skew graphs this keeps the
+    # window O(dcap·thr·rho) instead of O(dmax·thr·rho) ~ the whole pool.
+    # 0 means "= ksample_max" (uncapped relations; legacy pytrees).
+    ksample_cap: int = dataclasses.field(default=0, metadata=dict(static=True))
     # window cap: batch neighbor windows are [B, dcap], NOT [B, dmax].  On
     # near-uniform graphs the build policy keeps dcap == dmax (single lane,
     # identical to the uncapped layout); on heavy-tailed graphs (reference
@@ -357,6 +364,7 @@ def _finalize(indptr: np.ndarray, col: np.ndarray,
         num_edges=num_edges,
         dmax=dmax,
         ksample_max=int(k.max()) if num_nodes else 0,
+        ksample_cap=int(k[deg <= dcap].max(initial=0)) if num_nodes else 0,
         dcap=dcap,
         nbr2d=jnp.asarray(nbr2d) if nbr2d is not None else None,
     )
@@ -385,6 +393,7 @@ def degree_stub(deg: np.ndarray, *, threshold: float = 0.5) -> RelGraph:
         num_edges=0,
         dmax=0,
         ksample_max=int(k.max()) if num_nodes else 0,
+        ksample_cap=int(k.max()) if num_nodes else 0,
         is_stub=True,
         nbr2d=None,
     )

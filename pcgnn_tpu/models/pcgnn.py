@@ -38,7 +38,6 @@ from pcgnn_tpu.ops.aggregate import (
     batch_neighbor_window,
     dedup_minor_keep,
     keep_nearest,
-    minor_dedup_threshold,
     minor_sum,
     minor_sum_compact_multi,
     oversample_candidates_values,
@@ -87,12 +86,19 @@ class PCGNN:
 
     def minor_window(self, num_train_pos: int, relations) -> int:
         """Static width of the compact oversample-candidate window: the
-        largest ``int(ksample * rho)`` any relation can request, bounded by
-        the candidate pool.  Single source of truth for forward(),
-        bench.py and benchmarks/roofline.py."""
+        largest ``int(ksample * rho)`` any WINDOW-LANE (non-hub) row can
+        request, bounded by the candidate pool.  Hub rows' minors never go
+        through this window — they are selected exactly over the sorted
+        candidate table inside the hub lane (``ops.hub.chunk_minor_band``)
+        — so on skew graphs the window stays O(dcap·thr·rho) instead of
+        blowing up to the whole pool.  Single source of truth for
+        forward(), bench.py and benchmarks/roofline.py."""
+        def cap(rel):
+            kc = getattr(rel, "ksample_cap", 0)
+            return kc if kc else rel.ksample_max
         return max(1, min(
             int(num_train_pos),
-            int(max(rel.ksample_max for rel in relations) * self.rho)))
+            int(max(cap(rel) for rel in relations) * self.rho)))
 
     def forward(
         self,
@@ -258,6 +264,23 @@ class PCGNN:
             (cand_ids, cand_valid, cand_dist,
              cand_slots) = oversample_candidates_values(
                 center_s0, tp_s0, train_pos, train_pos_valid, m_max)
+            minor_ctx = None
+            if any_hub:
+                # hub rows' minor requests can reach the whole candidate
+                # pool (m = int(ceil(thr*deg)*rho), src/layers.py:681), so
+                # they bypass the compact window: the hub lane selects them
+                # exactly over the score-SORTED candidate table
+                # (ops.hub.chunk_minor_band — dense-oracle tie rule)
+                if not score_from_window:
+                    tp_rows_f = (train_pos_feats
+                                 if train_pos_feats is not None
+                                 else x[train_pos])
+                spv = jnp.where(train_pos_valid, tp_s0, _INF)
+                slot = jnp.arange(spv.shape[0], dtype=jnp.int32)
+                sp_sorted, slot_sorted = jax.lax.sort((spv, slot),
+                                                      num_keys=1)
+                feats_sorted = jax.lax.stop_gradient(tp_rows_f)[slot_sorted]
+                minor_ctx = (sp_sorted, slot_sorted, feats_sorted)
 
         rel_embs = []
         rel_sums = []   # per relation (num, cnt, pending keep_minor)
@@ -325,13 +348,13 @@ class PCGNN:
             keep = keep_nearest(d, keff_b, valid)
             num, cnt = window_sum_from_gathered(xw_feat, keep)
             if rel.has_hubs:
-                thr = (minor_dedup_threshold(rel, batch, batch_labels,
-                                             cand_valid, cand_dist, self.rho)
-                       if train else None)
                 h_num, h_cnt = hub_choose_sum(
                     rel, batch, is_hub, xs, f, center_s0,
                     s0_col=s0_col, w0=w0, b0=b0, round_sel=packed_sel,
-                    tp_col=tp_col if train else None, minor_thresh=thr)
+                    tp_col=tp_col if train else None,
+                    minor_ctx=minor_ctx if train else None,
+                    batch_labels=batch_labels if train else None,
+                    rho=self.rho)
                 num = jnp.where(is_hub[:, None], h_num, num)
                 cnt = jnp.where(is_hub, h_cnt, cnt)
             keep_minor = None
@@ -339,9 +362,13 @@ class PCGNN:
                 keep_minor = oversample_keep(
                     rel, batch, batch_labels, cand_valid, self.rho,
                     ksample_b=ksample_b)
+                if rel.has_hubs:
+                    # hub rows' minors (selection + sum + duplicate
+                    # subtraction) are handled entirely inside the hub
+                    # lane — the compact window is too narrow for them
+                    keep_minor = keep_minor & ~is_hub[:, None]
                 # hub rows' window keep is empty, so this exact dedup is a
-                # no-op for them — their duplicates are subtracted inside
-                # the hub lane by distance instead
+                # no-op for them
                 keep_minor = dedup_minor_keep(nbr, keep, n, cand_ids,
                                               keep_minor)
                 if not score_from_window:

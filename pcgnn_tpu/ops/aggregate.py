@@ -416,19 +416,20 @@ def oversample_candidates_values(
             [a[:nrows * c].reshape(nrows, c),
              a[c:nrows * c + c].reshape(nrows, c)], axis=1)
 
-    # scores, tie-break slots AND the train_pos ids all ride ONE packed row
-    # gather (int columns bitcast through f32): each separate TPU gather
-    # pays a fixed dispatch cost, and recovering ids afterwards with
-    # train_pos[slots_out] would be a [B, M] *element* gather — measured
-    # ~0.4 ms at B=1024 (element gathers run ~1e8 elem/s on v5e; wide row
-    # gathers are ~100x faster per fetched byte)
+    # tie-break slots and the train_pos ids ride ONE packed INT row gather
+    # (recovering ids afterwards with train_pos[slots_out] would be a
+    # [B, M] *element* gather — measured ~0.4 ms at B=1024; element
+    # gathers run ~1e8 elem/s on v5e while wide row gathers are ~100x
+    # faster per fetched byte).  The ints stay int32 the whole way: an
+    # earlier version bitcast them through f32 to share the score gather,
+    # but small ints are f32 DENORMALS and XLA's TPU row gather flushes
+    # denormals to zero — every slot/id arrived as 0 on hardware while CPU
+    # tests passed (caught by the round-5 on-chip oracle check).
     tp_sorted = train_pos[slot_sorted]                      # [P] — tiny
     tp_pad = jnp.pad(tp_sorted, (0, padw), constant_values=0)
-    as_f32 = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
-    rows_packed = jnp.concatenate(
-        [overlap_rows(sp_pad),
-         as_f32(overlap_rows(slot_pad)),
-         as_f32(overlap_rows(tp_pad))], axis=1)             # [R, 6C]
+    rows_scores = overlap_rows(sp_pad)                      # [R, 2C] f32
+    rows_ints = jnp.concatenate(
+        [overlap_rows(slot_pad), overlap_rows(tp_pad)], axis=1)  # [R, 4C] i32
     b_sz = int(center.shape[0])
     # compare_all builds a fused [B, P] compare matrix — far cheaper than
     # the default 'scan' binary search (log P sequential tiny kernels) up
@@ -436,11 +437,10 @@ def oversample_candidates_values(
     method = "compare_all" if p * b_sz <= 8_000_000 else "scan"
     pos = jnp.searchsorted(sp_sorted, center, method=method)  # [B]
     r0 = jnp.clip((pos - m_max) // c, 0, nrows - 1)         # [B]
-    win = rows_packed[r0]                                   # [B, 6C] row gather
-    win_scores = win[:, : 2 * c]
-    win_slots = jax.lax.bitcast_convert_type(
-        win[:, 2 * c: 4 * c], jnp.int32)
-    win_tpids = jax.lax.bitcast_convert_type(win[:, 4 * c:], jnp.int32)
+    win_scores = rows_scores[r0]                            # [B, 2C] row gather
+    win_ints = rows_ints[r0]                                # [B, 4C] row gather
+    win_slots = win_ints[:, : 2 * c]
+    win_tpids = win_ints[:, 2 * c:]
     d = jnp.abs(center[:, None] - win_scores)
     d = jnp.where(jnp.isfinite(win_scores), d, _INF)
     # lexicographic (distance, slot) sort reproduces the oracle's stable

@@ -120,6 +120,64 @@ def _run_hub_chunks(is_hub: jax.Array, chunk: int, f: int, dtype,
     return num_buf[inv], cnt_buf[inv]
 
 
+def chunk_minor_band(c_s0, ks_rows, fraud, active, sp_sorted, slot_sorted,
+                     feats_sorted, rho: float):
+    """Exact oversampled-minor selection + feature sum for one hub chunk.
+
+    The reference appends, for each fraud center, the ``int(ksample·rho)``
+    training positives nearest in label-aware score, stable-sorted with
+    ties resolved by candidate position (``src/layers.py:675-691``).  For
+    hub rows ``m`` can reach the whole candidate pool, so the per-row
+    compact window (``ops.aggregate.oversample_candidates``) would be
+    O(B·P); instead the few hub rows (compacted to chunks of
+    ``HUB_CHUNK``) select over the score-SORTED candidate axis directly:
+
+      d      = |c_s0 - sp_sorted|            ([H, P], shared table — no
+                                              per-row feature gathers)
+      t      = m-th smallest distance        (one [H, P] value sort)
+      sel    = (d < t)  |  first (m - #strict) ties in SLOT order
+                                              (double argsort of the tied
+                                              slots — the oracle tie rule)
+      num    = sel @ feats_sorted            (one [H, P]x[P, F] MXU matmul)
+
+    Exactly the dense-oracle selection (``oversample_candidates_dense``),
+    bit-identical tie handling, at O(H·P) for H = chunk hub rows instead
+    of O(B·P).
+
+    Returns (mnum [H, F], mcnt [H], t [H]); ``t`` doubles as the pass-2
+    duplicate-subtraction threshold (+inf when every valid candidate is
+    selected, -inf on inactive rows — ``minor_dedup_threshold`` semantics).
+    """
+    p = sp_sorted.shape[0]
+    m = jnp.floor(ks_rows.astype(jnp.float32) * rho).astype(jnp.int32)
+    act = active & fraud & (m > 0)
+    d = jnp.abs(c_s0[:, None] - sp_sorted[None, :])       # [H, P]; pad=+inf
+    ds = jax.lax.sort(d)                                  # ascending per row
+    n_valid = jnp.sum(jnp.isfinite(sp_sorted).astype(jnp.int32))
+    idx = jnp.clip(m - 1, 0, p - 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, ds.shape, 1)
+    at_m = jnp.sum(jnp.where(cols == idx[:, None], ds, 0.0), axis=1)
+    t = jnp.where(m >= n_valid, _INF, at_m)
+    t = jnp.where(act, t, -_INF)
+    strict = d < t[:, None]
+    tied = d == t[:, None]
+    m_eff = jnp.clip(m, 0, n_valid)
+    n_needed = m_eff - jnp.sum(strict.astype(jnp.int32), axis=1)
+    key = jnp.where(tied, slot_sorted[None, :], jnp.int32(2 ** 31 - 1))
+    order = jnp.argsort(key, axis=1, stable=True)
+    rank = jnp.argsort(order, axis=1, stable=True)
+    sel = (strict | (tied & (rank < n_needed[:, None]))) & act[:, None]
+    w = sel.astype(feats_sorted.dtype)
+    # precision='highest': the 0/1 mask is bf16-exact but the candidate
+    # FEATURES are not — default TPU matmul precision would round every
+    # selected feature through bf16 (~0.4% per element), while the window
+    # lane sums the same rows at full f32
+    mnum = jnp.dot(w, feats_sorted, precision="highest",
+                   preferred_element_type=jnp.float32)
+    mcnt = jnp.where(act, m_eff, 0).astype(feats_sorted.dtype)
+    return mnum, mcnt, t
+
+
 def hub_choose_sum(
     rel: RelGraph,
     batch: jax.Array,
@@ -133,7 +191,9 @@ def hub_choose_sum(
     b0: Optional[jax.Array] = None,
     round_sel: bool = False,
     tp_col: Optional[int] = None,
-    minor_thresh: Optional[jax.Array] = None,
+    minor_ctx: Optional[tuple] = None,
+    batch_labels: Optional[jax.Array] = None,
+    rho: float = 0.5,
     chunk: int = HUB_CHUNK,
     block: int = HUB_BLOCK,
 ):
@@ -154,8 +214,14 @@ def hub_choose_sum(
         values, so hub rows of the same relation must too —
         ``models.pcgnn`` sel_round).  Aggregation values stay exact.
       tp_col: column of ``xs`` holding the valid-train-positive indicator
-        (train only); with ``minor_thresh`` ([B], from
-        ``minor_dedup_threshold``) enables duplicate-minor subtraction.
+        (train only); enables duplicate-minor subtraction against the
+        in-chunk band threshold.
+      minor_ctx: (sp_sorted [P], slot_sorted [P], feats_sorted [P, F]) —
+        the score-sorted candidate table (train only).  Hub rows' minors
+        are selected + summed in-chunk (``chunk_minor_band``) and folded
+        into the returned sums; the caller must therefore EXCLUDE hub rows
+        from the window lane's keep-minor mask.
+      batch_labels: [B] int labels (train only; fraud gating of minors).
       chunk/block: memory-shape knobs (see module docstring).
 
     Returns (num [B, f], cnt [B]); zeros at non-hub rows.
@@ -165,7 +231,8 @@ def hub_choose_sum(
     center_s0 = sg(center_s0)
     w0 = sg(w0) if w0 is not None else None
     b0 = sg(b0) if b0 is not None else None
-    minor_thresh = sg(minor_thresh) if minor_thresh is not None else None
+    if minor_ctx is not None:
+        minor_ctx = tuple(sg(a) for a in minor_ctx)
     dh = _round_up(max(rel.dmax, 1), block)
 
     def chunk_fn(rows_slot, active):
@@ -174,7 +241,12 @@ def hub_choose_sum(
         deg = jnp.where(active, rel.deg[rows], 0)
         kf_rows = rel.keff[rows]
         c_s0 = center_s0[rows_slot]
-        thr = minor_thresh[rows_slot] if minor_thresh is not None else None
+        thr = None
+        mnum = mcnt = None
+        if minor_ctx is not None:
+            mnum, mcnt, thr = chunk_minor_band(
+                c_s0, rel.ksample[rows], batch_labels[rows_slot] == 1,
+                active, *minor_ctx, rho)
         jb = (jnp.max(deg) + block - 1) // block     # dynamic trip count
 
         def pass1(j, dist):
@@ -203,7 +275,7 @@ def hub_choose_sum(
             xw = xs[nbr]
             kb = jax.lax.dynamic_slice(keep, (0, j * block), (chunk, block))
             w = kb.astype(xs.dtype)
-            if tp_col is not None:
+            if tp_col is not None and thr is not None:
                 db = jax.lax.dynamic_slice(dist, (0, j * block),
                                            (chunk, block))
                 dup = kb & (xw[..., tp_col] > 0.5) & (db <= thr[:, None])
@@ -211,9 +283,12 @@ def hub_choose_sum(
             num = num + jnp.einsum("hw,hwf->hf", w, xw[..., :f])
             return num, cnt + jnp.sum(w, axis=1)
 
-        return jax.lax.fori_loop(
+        num, cnt = jax.lax.fori_loop(
             0, jb, pass2, (jnp.zeros((chunk, f), xs.dtype),
                            jnp.zeros((chunk,), xs.dtype)))
+        if mnum is not None:
+            num, cnt = num + mnum, cnt + mcnt
+        return num, cnt
 
     return _run_hub_chunks(is_hub, chunk, f, xs.dtype, chunk_fn,
                            deg=jax.lax.stop_gradient(rel.deg[batch]))

@@ -35,6 +35,25 @@ import numpy as np
 from jax.sharding import Mesh
 
 
+_INITIALIZED = False
+
+
+def ensure_initialized(coordinator_address: Optional[str] = None,
+                       num_processes: Optional[int] = None,
+                       process_id: Optional[int] = None,
+                       overlap: bool = True) -> None:
+    """Idempotent :func:`init_distributed` — the Trainer/CLI entry point
+    (config ``distributed: true``).  Safe to call once per process from
+    anywhere that runs before the first backend touch; later calls no-op
+    so sweep configs (``utils.config.grid``) can share one process."""
+    global _INITIALIZED
+    if _INITIALIZED:
+        return
+    init_distributed(coordinator_address, num_processes, process_id,
+                     overlap=overlap)
+    _INITIALIZED = True
+
+
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None,

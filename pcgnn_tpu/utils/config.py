@@ -51,6 +51,17 @@ DEFAULTS = {
     # traffic — only the frozen feature values round, accumulation stays
     # f32) or "float32" (bit-exact vs the scattered-gather path).
     "ewin_dtype": "bfloat16",
+    # multi-host training: true -> jax.distributed init + the
+    # ('dcn', 'data', 'graph') mesh (parallel.distributed).  Every process
+    # runs the same `python -m pcgnn_tpu.cli` with the same config;
+    # process identity comes from "process_id", the PCGNN_PROCESS_ID env
+    # var, or (TPU pods) jax auto-detection.  "mesh_graph"/"mesh_data"
+    # size the PER-PROCESS axes; the 'dcn' axis length is process_count.
+    "distributed": False,
+    "coordinator_address": None,   # None = auto-detect (TPU pods)
+    "num_processes": None,
+    "process_id": None,
+    "mesh_data": None,
     # model-selection protocol: "gain" = the reference's relative AUC+F1
     # gain rule on argmax predictions (model_handler.py:162-169); "f1" =
     # the (f1) variant — validation sweeps 100 thresholds for best F1,

@@ -113,6 +113,48 @@ def test_fraud_hub_minor_dedup_parity():
     assert len(kept & minors) > 0, "test setup failed to create duplicates"
 
 
+def test_hub_minor_band_wide_m_and_ties_match_oracle():
+    """Hub rows' minors bypass the compact candidate window and are
+    selected in-chunk over the score-sorted pool (``chunk_minor_band``).
+    This pins (a) the window truncation — ``minor_window`` sizes by
+    ``ksample_cap`` (non-hub rows), far below the hub's request — and
+    (b) exact dense-oracle tie handling: coarsely quantized features force
+    exact score ties at the band boundary, which must resolve by candidate
+    position exactly like the reference's stable sort
+    (``src/layers.py:679-683``)."""
+    n, f = 500, 8
+    rng = np.random.default_rng(21)
+    hub_deg = 360
+    src = np.concatenate([np.zeros(hub_deg, np.int64), np.arange(n)])
+    dst = np.concatenate([rng.integers(1, n, hub_deg), (np.arange(n) + 1) % n])
+    rel = csr_from_edges(src, dst, n, window_cap=48)
+    assert rel.has_hubs
+    # quantized features -> many exact ties in the label-aware score
+    feats = np.round(rng.normal(size=(n, f)), 1).astype(np.float32)
+    labels = (rng.random(n) < 0.4).astype(np.int64)
+    labels[0] = 1
+    graph = build_multirel([rel], rel, feats, labels)
+    train_pos = np.sort(rng.choice(np.flatnonzero(labels == 1), 120,
+                                   replace=False))
+    model = build_model("PCGNN", feat_dim=f, emb_dim=8, num_relations=1,
+                        alpha=2.0, rho=0.5)
+    # the hub row requests int(ceil(0.5*360)*0.5) = 90 minors; the compact
+    # window only needs to cover non-hub rows (<= int(ceil(0.5*48)*0.5))
+    m_max = model.minor_window(len(train_pos), graph.relations)
+    assert m_max < 90 and m_max <= 12
+    params = model.init(jax.random.key(5))
+    batch = np.concatenate([[0], rng.integers(0, n, 31)]).astype(np.int32)
+    tp = jnp.asarray(train_pos, jnp.int32)
+    tpv = jnp.ones(len(train_pos), bool)
+    logits, _ = model.forward(
+        params, graph, jnp.asarray(batch), jnp.asarray(labels[batch]),
+        train=True, train_pos=tp, train_pos_valid=tpv)
+    o_logits, _ = pcgnn_forward_oracle(
+        jax.tree.map(np.asarray, params), feats, [rel], batch, labels[batch],
+        train_pos, rho=0.5, train=True)
+    np.testing.assert_allclose(np.asarray(logits), o_logits, atol=1e-4)
+
+
 def test_capped_equals_uncapped_random_powerlaw():
     """Capping is an execution strategy, not a semantics change: the same
     graph built capped vs uncapped must produce the same forward (up to
