@@ -56,15 +56,24 @@ class PCGNN:
     """Functional PC-GNN. Hyperparameters are static; params are a pytree."""
 
     def __init__(self, feat_dim: int, emb_dim: int, num_relations: int,
-                 alpha: float, rho: float, num_classes: int = 2):
+                 alpha: float, rho: float, num_classes: int = 2,
+                 learn_features: bool = False):
         self.feat_dim = feat_dim
         self.emb_dim = emb_dim
         self.num_relations = num_relations
         self.alpha = float(alpha)   # lambda_1 in the paper, config key "alpha"
         self.rho = float(rho)
         self.num_classes = num_classes
+        # learned-feature variant (config ``learn_features``): the node
+        # table becomes a trainable parameter (the reference's
+        # ``nn.Embedding`` with requires_grad=True instead of the frozen
+        # default, ``model_handler.py:85-86``), and aggregation runs the
+        # dense mask-GEMM lane (``ops.aggregate.scatter_batch_mask`` +
+        # ``masked_mean_aggregate``) whose VJP is itself a GEMM — the
+        # scatter-free window lane has no gradient path into the table.
+        self.learn_features = learn_features
 
-    def init(self, key: jax.Array) -> dict:
+    def init(self, key: jax.Array, features=None) -> dict:
         ks = jax.random.split(key, self.num_relations + 3)
         params = {
             "label_clf": torch_linear(ks[0], self.feat_dim, self.num_classes),
@@ -80,6 +89,14 @@ class PCGNN:
             "head": {"w": xavier_uniform(
                 ks[self.num_relations + 2], (self.emb_dim, self.num_classes))},
         }
+        if self.learn_features:
+            if features is None:
+                raise ValueError(
+                    "learn_features=True: init(key, features=...) needs the "
+                    "initial node table (the reference initializes the "
+                    "embedding from the dataset features, "
+                    "model_handler.py:85)")
+            params["embed"] = jnp.asarray(features, jnp.float32)
         return params
 
     # ------------------------------------------------------------------ #
@@ -119,6 +136,10 @@ class PCGNN:
         (both the split and the feature table are frozen), so the trainer
         hoists the gather out of the step.
         """
+        if self.learn_features:
+            return self._forward_learned(
+                params, graph, batch, batch_labels, train=train,
+                train_pos=train_pos, train_pos_valid=train_pos_valid)
         x = graph.features
         n = graph.num_nodes
         f = x.shape[1]
@@ -234,12 +255,24 @@ class PCGNN:
             xs = jnp.concatenate([x, s0_sg[:, None]] + extra, axis=1)
             s0_col = f
             tp_col = f + 1 if need_tp else None
+        clamp_ids = False
         if xs is None:
             # no extra columns: use the precomputed sentinel-padded table
-            # when available — re-concatenating copies the WHOLE [N, F]
-            # table every step (1.6 ms at stress scale)
-            xs = (graph.features_pad if graph.features_pad is not None
-                  else jnp.concatenate([x, jnp.zeros((1, f), x.dtype)]))
+            # when available.  Past the fpad HBM budget (stress scale)
+            # re-concatenating would copy the WHOLE [N, F] table every
+            # step (~6 ms of the 20 ms stress-10m step); instead the raw
+            # table is indexed with ids CLAMPED to N-1 — every consumer
+            # multiplies the gathered rows by a validity mask, so the
+            # clamped rows' values never reach a sum.  Hub sweeps index
+            # their CSR tails directly and keep the sentinel-row contract,
+            # so clamping is only taken hub-free.
+            if graph.features_pad is not None:
+                xs = graph.features_pad
+            elif not any_hub:
+                xs = x
+                clamp_ids = True
+            else:
+                xs = jnp.concatenate([x, jnp.zeros((1, f), x.dtype)])
         else:
             fcols = xs.shape[1]
             xs = jnp.concatenate(
@@ -334,7 +367,8 @@ class PCGNN:
                 is_hub = deg_b > rel.window_width
                 valid = valid & ~is_hub[:, None]   # hubs leave the window lane
             if not use_ew:
-                xw = xs[nbr]                               # [B, D, fcols] rows
+                xw = xs[jnp.minimum(nbr, n - 1) if clamp_ids
+                        else nbr]                          # [B, D, fcols] rows
                 xw_feat = xw[..., :f]
             # choose: SDDMM distance on score channel 0 + exact ranks
             # (src/layers.py:655-672; keff folds keep-all-when-small)
@@ -392,6 +426,84 @@ class PCGNN:
         for r, (num, cnt, _) in enumerate(rel_sums):
             agg = num / jnp.maximum(cnt, 1.0)[:, None]
             cat = jnp.concatenate([self_feats, agg], axis=1)    # [B, 2F]
+            h = jax.nn.relu(jnp.dot(cat, params["intra"][r]["w"],
+                                    preferred_element_type=jnp.float32))
+            rel_embs.append(h)
+
+        cat_all = jnp.concatenate([self_feats] + rel_embs, axis=1)
+        combined = jax.nn.relu(jnp.dot(cat_all, params["inter"]["w"],
+                                       preferred_element_type=jnp.float32))
+        gnn_logits = jnp.dot(combined, params["head"]["w"],
+                             preferred_element_type=jnp.float32)
+        return gnn_logits, center_scores
+
+    def _forward_learned(
+        self,
+        params: dict,
+        graph: MultiRelGraph,
+        batch: jax.Array,
+        batch_labels: Optional[jax.Array],
+        *,
+        train: bool,
+        train_pos: Optional[jax.Array] = None,
+        train_pos_valid: Optional[jax.Array] = None,
+    ):
+        """Learned-feature forward: the dense mask-GEMM lane.
+
+        Same selection math as :meth:`forward` (choose + oversample,
+        ``src/layers.py:633-738``, all stop-gradiented exactly as the
+        reference's non-differentiable sampling), but aggregation builds
+        the reference's dense 0/1 mask (``src/layers.py:594-624``) with
+        ``scatter_batch_mask`` and contracts it on the MXU
+        (``masked_mean_aggregate``): the VJP of ``mask @ X`` is
+        ``mask^T @ g`` — a GEMM — so gradients flow into the trainable
+        node table ``params['embed']``.  Duplicate minors collapse through
+        the mask's set semantics (clamp to 1), reproducing the reference's
+        Python-set union without an explicit dedup.
+        """
+        from pcgnn_tpu.ops.aggregate import (masked_mean_aggregate,
+                                             scatter_batch_mask)
+
+        if any(rel.has_hubs for rel in graph.relations):
+            raise ValueError(
+                "learn_features=True needs uncapped relations: the "
+                "blockwise hub lane is frozen-feature by design "
+                "(ops.hub stop-gradients its inputs).  Rebuild the graph "
+                "with window_cap disabled (csr_from_edges(window_cap=dmax)) "
+                "or train with frozen features.")
+        x = params["embed"]
+        n = graph.num_nodes
+        clf = params["label_clf"]
+        scores = jnp.dot(x, clf["w"], precision="highest",
+                         preferred_element_type=jnp.float32) + clf["b"]
+        center_scores = scores[batch]
+        # selection is non-differentiable, exactly as in the frozen lane
+        s0 = jax.lax.stop_gradient(scores[:, 0])
+        s0_pad = jnp.concatenate([s0, jnp.full((1,), _INF, s0.dtype)])
+        center_s0 = s0[batch]
+
+        cand_ids = keep_minor_base = None
+        if train:
+            m_max = self.minor_window(int(train_pos.shape[0]),
+                                      graph.relations)
+            cand_ids, cand_valid, _, _ = oversample_candidates_values(
+                center_s0, s0[train_pos], train_pos, train_pos_valid, m_max)
+
+        self_feats = x[batch]
+        rel_embs = []
+        for r, rel in enumerate(graph.relations):
+            nbr, valid = batch_neighbor_window(rel, batch)
+            d = jnp.abs(center_s0[:, None] - s0_pad[nbr])
+            d = jnp.where(valid, d, _INF)
+            keep = keep_nearest(d, rel.keff[batch], valid)
+            keep_minor = (oversample_keep(rel, batch, batch_labels,
+                                          cand_valid, self.rho)
+                          if train else None)
+            mask = scatter_batch_mask(
+                n, nbr, keep,
+                cand_ids if train else None, keep_minor)
+            agg = masked_mean_aggregate(mask, x)
+            cat = jnp.concatenate([self_feats, agg], axis=1)
             h = jax.nn.relu(jnp.dot(cat, params["intra"][r]["w"],
                                     preferred_element_type=jnp.float32))
             rel_embs.append(h)

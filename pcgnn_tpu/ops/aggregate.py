@@ -394,8 +394,12 @@ def oversample_candidates_values(
     center = center_s0                                      # [B]
     sp = jnp.where(train_pos_valid, cand_s0, _INF)          # [P]
     slot = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)[:, 0]
-    # sort candidates by (score, slot); invalid slots cluster at the end
-    sp_sorted, slot_sorted = jax.lax.sort((sp, slot), num_keys=1)
+    # sort candidates by (score, slot); invalid slots cluster at the end.
+    # train_pos ids ride the SAME sort: the former post-sort
+    # train_pos[slot_sorted] was a [P] element gather — ~2 ms/step at
+    # stress scale (P ~ 2e5; TPU element gathers run ~1e8 elem/s)
+    sp_sorted, slot_sorted, tp_sorted = jax.lax.sort(
+        (sp, slot, train_pos.astype(jnp.int32)), num_keys=1)
     # Each center's m nearest live in the contiguous window
     # [pos-m, pos+m) of the sorted array.  A per-row [B, 2M] element gather
     # of that window is the slow path on TPU (XLA's scattered element
@@ -425,7 +429,6 @@ def oversample_candidates_values(
     # but small ints are f32 DENORMALS and XLA's TPU row gather flushes
     # denormals to zero — every slot/id arrived as 0 on hardware while CPU
     # tests passed (caught by the round-5 on-chip oracle check).
-    tp_sorted = train_pos[slot_sorted]                      # [P] — tiny
     tp_pad = jnp.pad(tp_sorted, (0, padw), constant_values=0)
     rows_scores = overlap_rows(sp_pad)                      # [R, 2C] f32
     rows_ints = jnp.concatenate(
@@ -518,7 +521,8 @@ def scatter_batch_mask(
     mask = mask.at[rows, nbr].add(keep.astype(jnp.float32), mode="drop")
     if minor_ids is not None:
         rows_m = jax.lax.broadcasted_iota(jnp.int32, keep_minor.shape, 0)
-        cols_m = jnp.broadcast_to(minor_ids[None, :], keep_minor.shape)
+        cols_m = (jnp.broadcast_to(minor_ids[None, :], keep_minor.shape)
+                  if minor_ids.ndim == 1 else minor_ids)
         mask = mask.at[rows_m, cols_m].add(keep_minor.astype(jnp.float32), mode="drop")
     mask = jnp.minimum(mask, 1.0)
     return mask[:, :num_nodes]

@@ -57,6 +57,49 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _keep_widths(dh: int, block: int) -> list:
+    """Static sort widths for :func:`keep_nearest_switch`: powers of 4
+    from one block up to the padded max degree."""
+    ws, w = [], block
+    while w < dh:
+        ws.append(w)
+        w *= 4
+    ws.append(dh)
+    return ws
+
+
+def keep_nearest_switch(dist, kf_rows, jb, block: int):
+    """``keep_nearest`` over only the first ``jb * block`` columns of the
+    chunk's distance buffer, via ``lax.switch`` over a few static widths.
+
+    The buffer is statically [chunk, dh] with dh = roundup(dmax) — on
+    skewed graphs 16k+ wide — but a chunk's rows only populate
+    ``jb * block`` slots (degree-descending ordering keeps jb near the
+    chunk's own max degree, ``_run_hub_chunks``).  Sorting the full width
+    for every chunk made the value sort the dominant skew-step cost;
+    truncating to the smallest covering width is exact: slots beyond
+    ``jb * block`` are +inf (never kept) and ``keff <= deg <= jb * block``
+    so every rank decision happens inside the truncation.
+    """
+    dh = dist.shape[1]
+    widths = _keep_widths(dh, block)
+
+    def branch(w):
+        def f(dist, kf_rows):
+            dw = dist[:, :w]
+            keep_w = keep_nearest(dw, kf_rows, jnp.isfinite(dw))
+            if w == dh:
+                return keep_w
+            return jnp.pad(keep_w, ((0, 0), (0, dh - w)))
+        return f
+
+    if len(widths) == 1:
+        return branch(dh)(dist, kf_rows)
+    bounds = jnp.asarray([w // block for w in widths[:-1]], jnp.int32)
+    idx = jnp.searchsorted(bounds, jb, side="left")
+    return jax.lax.switch(idx, [branch(w) for w in widths], dist, kf_rows)
+
+
 def _window_block(col: jax.Array, starts: jax.Array, j: jax.Array,
                   block: int) -> jax.Array:
     """[H, block] neighbor ids from each row's edge-list tail at offset
@@ -267,7 +310,7 @@ def hub_choose_sum(
 
         dist = jax.lax.fori_loop(
             0, jb, pass1, jnp.full((chunk, dh), _INF, jnp.float32))
-        keep = keep_nearest(dist, kf_rows, jnp.isfinite(dist))
+        keep = keep_nearest_switch(dist, kf_rows, jb, block)
 
         def pass2(j, acc):
             num, cnt = acc

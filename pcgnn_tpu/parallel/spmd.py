@@ -75,7 +75,8 @@ from pcgnn_tpu.ops.aggregate import (
     oversample_candidates_values,
     unpack_window,
 )
-from pcgnn_tpu.ops.hub import HUB_BLOCK, HUB_CHUNK, _run_hub_chunks, _window_block
+from pcgnn_tpu.ops.hub import (HUB_BLOCK, HUB_CHUNK, _run_hub_chunks,
+                               _window_block, keep_nearest_switch)
 
 shard_map = jax.shard_map
 
@@ -331,6 +332,59 @@ def _build_sharded_ewin(rel, indptr, col, deg_np, features, dg, n_pad,
     )
 
 
+def build_sharded_fused(graph: MultiRelGraph, shards: tuple, mesh: Mesh,
+                        n_pad: int, *,
+                        budget_bytes: int = SPMD_EWIN_BUDGET_BYTES):
+    """[N_pad, W] fused per-node record table, row-block sharded.
+
+    The single-chip step fetches EVERY relation's neighbor-feature window
+    with ONE 2D row gather per batch node (``graph.csr._build_fused_store``
+    — the r4 profile showed the per-relation window DMAs dispatch-bound);
+    the round-5 1x1-overhead profile showed the sharded fast lane paying
+    the same per-relation dispatch cost again.  This builds the identical
+    record layout host-side (tight 128-lane sections, same packing as the
+    relations' sharded stores) and shards its ROWS over 'graph', so the
+    owner's record fetch is one XLA row gather from its local block —
+    byte-identical values to the per-relation stores.
+
+    Returns (fused [N_pad, W] P('graph', None), off tuple) or (None, ())
+    when any relation lacks a sharded store or the table busts the budget.
+    """
+    rels = graph.relations
+    if (not rels or any(sh.ewin is None for sh in shards)):
+        return None, ()
+    feats = np.asarray(graph.features, np.float32)
+    secs_w = [
+        _round_up(max(sh.width, 1)
+                  * ((sh.ewin_fs // 2) if sh.ewin_packed else sh.ewin_f),
+                  128) for sh in shards]
+    w = int(sum(secs_w))
+    off = tuple(int(x) for x in np.cumsum([0] + secs_w))
+    if n_pad * w * 4 > budget_bytes:
+        return None, ()
+    buf = np.zeros((n_pad, w), np.float32)
+    for rel, sh, sw, col0 in zip(rels, shards, secs_w, off[:-1]):
+        fw = (sh.ewin_fs // 2) if sh.ewin_packed else sh.ewin_f
+        fp = (_pack_bf16_pairs(feats, sh.ewin_fs) if sh.ewin_packed
+              else feats)
+        indptr = np.asarray(rel.indptr)
+        col = np.asarray(rel.col)[: rel.num_edges]
+        d = max(sh.width, 1)
+        degc = np.minimum(np.diff(indptr), d).astype(np.int64)
+        rows = np.repeat(np.arange(rel.num_nodes), degc)
+        if not len(rows):
+            continue
+        starts = np.concatenate([[0], np.cumsum(degc)[:-1]])
+        slot = np.arange(int(degc.sum())) - np.repeat(starts, degc)
+        src = col[indptr[rows] + slot]
+        flat = buf.reshape(-1)
+        flat_idx = ((rows.astype(np.int64) * w + col0 + slot * fw)[:, None]
+                    + np.arange(fw))
+        flat[flat_idx.ravel()] = np.asarray(fp, np.float32)[src].ravel()
+    fused = jax.device_put(buf, NamedSharding(mesh, P("graph", None)))
+    return fused, off
+
+
 def shard_relations(graph: MultiRelGraph, mesh: Mesh, n_pad: int,
                     *, edge_windows: bool = True,
                     ewin_dtype=jnp.float32,
@@ -503,7 +557,7 @@ def _spmd_hub_sum(sh: ShardedRel, is_hub, hslot, s0_full, center_s0,
 
         dist = jax.lax.fori_loop(
             0, jb, pass1, jnp.full((HUB_CHUNK, dh), _INF, jnp.float32))
-        keep = keep_nearest(dist, kf_rows, jnp.isfinite(dist))
+        keep = keep_nearest_switch(dist, kf_rows, jb, blk)
 
         def pass2(j, acc):
             num, cnt = acc
@@ -551,22 +605,30 @@ def _sharded_feature_window(sh: ShardedRel, starts: jax.Array,
 
 
 def spmd_forward_fn(model: PCGNN, mesh: Mesh, n_pad: int, shards: tuple,
-                    *, train: bool):
+                    *, train: bool, fused_off: tuple = ()):
     """Build the shard_map'd forward
-    (params, x_local, shards, batch, tp, tpv, y) ->
+    (params, x_local, shards, fused, batch, tp, tpv, y) ->
     (gnn_logits [Bd, C], center_scores [Bd, C]), both 'data'-sharded.
 
     Math identical to ``models.pcgnn.PCGNN.forward`` (parity-tested); see
     the module docstring for the communication schedule.  ``y`` (labels)
     is consumed only when ``train`` (fraud-center oversampling).
 
+    ``fused`` is the row-sharded fused record table
+    (:func:`build_sharded_fused`; pass a [N_pad, 0] placeholder with
+    ``fused_off=()`` to disable): when present, the owner fetches ALL
+    relations' windows with ONE local row gather, mirroring the
+    single-chip fused path.
+
     ``shards`` (the actual :class:`ShardedRel` tuple) is needed at build
     time only to derive the in_specs pytree (static fields must match);
     the arrays still enter as traced arguments, not closed-over literals.
     """
     block = n_pad // mesh.shape["graph"]
+    dg = mesh.shape["graph"]
     rho = model.rho
     daxes = data_axes(mesh)
+    use_fused = bool(fused_off)
     # selection-precision rule (models.pcgnn sel_round): packed stores
     # rank the bf16-rounded feature snapshot everywhere
     packed_sel = any(sh.ewin_packed for sh in shards)
@@ -588,7 +650,8 @@ def spmd_forward_fn(model: PCGNN, mesh: Mesh, n_pad: int, shards: tuple,
 
     shards_spec = tuple(rel_spec(sh) for sh in shards)
 
-    def body(params, x_local, shards, batch, train_pos, train_pos_valid, y):
+    def body(params, x_local, shards, fused, batch, train_pos,
+             train_pos_valid, y):
         clf = params["label_clf"]
         w0 = jax.lax.stop_gradient(clf["w"][:, 0])
         b0 = jax.lax.stop_gradient(clf["b"][0])
@@ -596,6 +659,11 @@ def spmd_forward_fn(model: PCGNN, mesh: Mesh, n_pad: int, shards: tuple,
         local = batch - col_lo
         mine = (local >= 0) & (local < block)
         lclip = jnp.clip(local, 0, block - 1)
+
+        if use_fused:
+            # one local row gather fetches every relation's window for
+            # the owned batch rows (single-chip fused-record path)
+            rec = fused[lclip]                                 # [Bd, W]
 
         # self feature rows, reduced over the graph axis
         self_feats = _owner_pick(mine, x_local[lclip])         # [Bd, F]
@@ -681,11 +749,22 @@ def spmd_forward_fn(model: PCGNN, mesh: Mesh, n_pad: int, shards: tuple,
 
             if sh.ewin is not None:
                 # ---- fast lane: owner-complete window choose + sum ----- #
-                starts = sh.estart[lclip]
-                xw = _sharded_feature_window(sh, starts, mine)  # [Bd, D, F]
-                # skipped-DMA rows hold uninitialized VMEM: zero them so
-                # 0-weight contractions cannot propagate a stray NaN
-                xw = jnp.where(mine[:, None, None], xw, 0.0)
+                if use_fused:
+                    raw = rec[:, fused_off[r]: fused_off[r + 1]]
+                    xw = unpack_window(raw, d, sh.ewin_f, sh.ewin_fs,
+                                       sh.ewin_packed)         # [Bd, D, F]
+                else:
+                    starts = sh.estart[lclip]
+                    # dg == 1: every row is owned — the masked
+                    # (predicated-DMA) kernel and the NaN scrub would be
+                    # pure overhead
+                    xw = _sharded_feature_window(
+                        sh, starts, mine if dg > 1 else None)  # [Bd, D, F]
+                    if dg > 1:
+                        # skipped-DMA rows hold uninitialized VMEM: zero
+                        # them so 0-weight contractions cannot propagate
+                        # a stray NaN
+                        xw = jnp.where(mine[:, None, None], xw, 0.0)
                 valid_o = mine[:, None] & valid_w
                 nbr_s0 = s0_of(xw)
                 dist = jnp.where(valid_o,
@@ -777,7 +856,7 @@ def spmd_forward_fn(model: PCGNN, mesh: Mesh, n_pad: int, shards: tuple,
     return shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), P("graph", None), shards_spec,
+        in_specs=(P(), P("graph", None), shards_spec, P("graph", None),
                   P(daxes), P(), P(), P(daxes)),
         out_specs=(P(daxes), P(daxes)),
         check_vma=False,
@@ -852,6 +931,7 @@ def spmd_homo_forward_fn(model, mesh: Mesh, n_pad: int, sh: ShardedRel,
     from pcgnn_tpu.models.gcn import GCN
 
     block = n_pad // mesh.shape["graph"]
+    dg = mesh.shape["graph"]
     daxes = data_axes(mesh)
     is_gcn = isinstance(model, GCN)
     norm = "sqrt" if is_gcn else "mean"
@@ -907,10 +987,12 @@ def spmd_homo_forward_fn(model, mesh: Mesh, n_pad: int, sh: ShardedRel,
 
         if sh.ewin is not None:
             # fast lane: the owner reads its local store windows
-            xw = _sharded_feature_window(sh, sh.estart[lclip], mine)
-            # skipped-DMA rows hold uninitialized VMEM: zero them so
-            # 0-weight contractions cannot propagate a stray NaN
-            xw = jnp.where(mine[:, None, None], xw, 0.0)
+            xw = _sharded_feature_window(
+                sh, sh.estart[lclip], mine if dg > 1 else None)
+            if dg > 1:
+                # skipped-DMA rows hold uninitialized VMEM: zero them so
+                # 0-weight contractions cannot propagate a stray NaN
+                xw = jnp.where(mine[:, None, None], xw, 0.0)
             kf = valid_o.astype(xw.dtype)
             num = jnp.einsum("bd,bdf->bf", kf, xw)
             cnt = jnp.sum(kf, axis=1)
@@ -1010,13 +1092,28 @@ def spmd_homo_predict_fn(model, mesh: Mesh, n_pad: int, sh: ShardedRel):
     return predict
 
 
-def spmd_loss_fn(model: PCGNN, mesh: Mesh, n_pad: int, shards: tuple):
-    """loss(params, x_sharded, shards, batch, y, w, tp, tpv) -> scalar.
+def _fused_placeholder(mesh: Mesh, n_pad: int) -> jax.Array:
+    """Zero-width stand-in for the fused record table (0 bytes; safe to
+    close over) so the shard_map arity is fixed whether or not the caller
+    built one."""
+    return jax.device_put(jnp.zeros((n_pad, 0), jnp.float32),
+                          NamedSharding(mesh, P("graph", None)))
+
+
+def spmd_loss_fn(model: PCGNN, mesh: Mesh, n_pad: int, shards: tuple,
+                 *, fused_off: tuple = ()):
+    """loss(params, x_sharded, shards, batch, y, w, tp, tpv[, fused]) ->
+    scalar.
 
     Joint weighted-mean CE, reduced over the 'data' axis
-    (``src/model.py:47-62``; weights mask padded batch slots)."""
-    fwd = spmd_forward_fn(model, mesh, n_pad, shards, train=True)
+    (``src/model.py:47-62``; weights mask padded batch slots).  With
+    ``fused_off`` (and the matching :func:`build_sharded_fused` table
+    passed as the trailing ``fused`` argument) the fast lane fetches all
+    relations' windows in one local row gather."""
+    fwd = spmd_forward_fn(model, mesh, n_pad, shards, train=True,
+                          fused_off=fused_off)
     daxes = data_axes(mesh)
+    placeholder = _fused_placeholder(mesh, n_pad)
 
     def mean_over_data(ce_joint, w):
         num = jax.lax.psum(jnp.sum(ce_joint * w), daxes)
@@ -1028,9 +1125,11 @@ def spmd_loss_fn(model: PCGNN, mesh: Mesh, n_pad: int, shards: tuple):
                         check_vma=False)
 
     def loss(params, x_sharded, shards, batch, y, w, train_pos,
-             train_pos_valid):
-        gnn_logits, center_scores = fwd(params, x_sharded, shards, batch,
-                                        train_pos, train_pos_valid, y)
+             train_pos_valid, fused=None):
+        gnn_logits, center_scores = fwd(
+            params, x_sharded, shards,
+            placeholder if fused is None else fused, batch,
+            train_pos, train_pos_valid, y)
         ce_gnn = optax.softmax_cross_entropy_with_integer_labels(gnn_logits, y)
         ce_lab = optax.softmax_cross_entropy_with_integer_labels(
             center_scores, y)
@@ -1039,16 +1138,22 @@ def spmd_loss_fn(model: PCGNN, mesh: Mesh, n_pad: int, shards: tuple):
     return loss
 
 
-def spmd_predict_fn(model: PCGNN, mesh: Mesh, n_pad: int, shards: tuple):
-    """probs(params, x_sharded, shards, batch, tp, tpv) -> [B, 2] sigmoid
-    of the GNN head (``src/model.py:41-45``), gathered to the host."""
-    fwd = spmd_forward_fn(model, mesh, n_pad, shards, train=False)
+def spmd_predict_fn(model: PCGNN, mesh: Mesh, n_pad: int, shards: tuple,
+                    *, fused_off: tuple = ()):
+    """probs(params, x_sharded, shards, batch, tp, tpv[, fused]) -> [B, 2]
+    sigmoid of the GNN head (``src/model.py:41-45``), gathered to the
+    host."""
+    fwd = spmd_forward_fn(model, mesh, n_pad, shards, train=False,
+                          fused_off=fused_off)
+    placeholder = _fused_placeholder(mesh, n_pad)
 
     # replicated output: every process of a multi-host mesh holds the full
     # [B, 2] result, so the host-side metric code needs no process gather
     @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
-    def predict(params, x_sharded, shards, batch, train_pos, train_pos_valid):
-        gnn_logits, _ = fwd(params, x_sharded, shards, batch,
+    def predict(params, x_sharded, shards, batch, train_pos,
+                train_pos_valid, fused=None):
+        gnn_logits, _ = fwd(params, x_sharded, shards,
+                            placeholder if fused is None else fused, batch,
                             train_pos, train_pos_valid,
                             jnp.zeros_like(batch))
         return jax.nn.sigmoid(gnn_logits)
@@ -1058,23 +1163,24 @@ def spmd_predict_fn(model: PCGNN, mesh: Mesh, n_pad: int, shards: tuple):
 
 def make_spmd_train_step(model: PCGNN, mesh: Mesh,
                          tx: optax.GradientTransformation,
-                         x_sharded: jax.Array, shards: tuple, n_pad: int):
+                         x_sharded: jax.Array, shards: tuple, n_pad: int,
+                         *, fused=None, fused_off: tuple = ()):
     """Jitted SPMD step: (params, opt_state, batch, y, w, tp, tpv) ->
     (params, opt_state, loss)."""
-    loss_fn = spmd_loss_fn(model, mesh, n_pad, shards)
+    loss_fn = spmd_loss_fn(model, mesh, n_pad, shards, fused_off=fused_off)
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def _step(params, opt_state, x_sharded, shards, batch, y, w,
+    def _step(params, opt_state, x_sharded, shards, fused, batch, y, w,
               train_pos, train_pos_valid):
         loss, grads = jax.value_and_grad(
             lambda p: loss_fn(p, x_sharded, shards, batch, y, w,
-                              train_pos, train_pos_valid))(params)
+                              train_pos, train_pos_valid, fused))(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
     def step(params, opt_state, batch, y, w, train_pos, train_pos_valid):
-        return _step(params, opt_state, x_sharded, shards, batch,
+        return _step(params, opt_state, x_sharded, shards, fused, batch,
                      y, w, train_pos, train_pos_valid)
 
     return step

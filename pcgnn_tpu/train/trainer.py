@@ -106,6 +106,7 @@ class Trainer:
         # this single-device materialization is skipped there.  Relations
         # over the HBM budget keep the scattered-gather path transparently.
         if (cfg.get("edge_windows", True) and not self.distributed
+                and not cfg.get("learn_features")
                 and int(cfg.get("num_devices") or 1) == 1):
             from pcgnn_tpu.graph.csr import materialize_edge_windows
             # bfloat16 store by default (TPU-first): the step is
@@ -132,7 +133,8 @@ class Trainer:
             self.model = build_model(
                 model_name, feat_dim=graph.feat_dim, emb_dim=cfg["emb_size"],
                 num_relations=graph.num_relations,
-                alpha=cfg.get("alpha", 2.0), rho=cfg.get("rho", 0.5))
+                alpha=cfg.get("alpha", 2.0), rho=cfg.get("rho", 0.5),
+                learn_features=bool(cfg.get("learn_features")))
         else:
             self.model = build_model(model_name, feat_dim=graph.feat_dim,
                                      emb_dim=cfg["emb_size"],
@@ -146,6 +148,13 @@ class Trainer:
         # (parallel.spmd); num_devices == 1 keeps the single-chip path.
         self.num_devices = int(cfg.get("num_devices") or 1)
         self.mesh = None
+        if (cfg.get("learn_features")
+                and (self.distributed or self.num_devices > 1)):
+            raise NotImplementedError(
+                "learn_features trains the node table through the dense "
+                "mask-GEMM lane, which is single-chip only (the SPMD lanes "
+                "assume a frozen sharded table); drop num_devices/"
+                "distributed or learn_features")
         if self.distributed:
             from pcgnn_tpu.parallel.distributed import make_multihost_mesh
             self.mesh = make_multihost_mesh(
@@ -225,11 +234,18 @@ class Trainer:
                             "float32": jnp.float32}[
                     self.config.get("ewin_dtype", "bfloat16")])
             if is_pcgnn:
+                from pcgnn_tpu.parallel.spmd import build_sharded_fused
                 rel_shards = shard_relations(self.graph, self.mesh, n_pad,
                                              **ewin_kw)
-                spmd_loss = spmd_loss_fn(model, self.mesh, n_pad, rel_shards)
+                # fused per-node record table (one row gather fetches all
+                # relations' windows — the single-chip fast path, sharded)
+                fused, fused_off = build_sharded_fused(
+                    self.graph, rel_shards, self.mesh, n_pad)
+                spmd_loss = spmd_loss_fn(model, self.mesh, n_pad,
+                                         rel_shards, fused_off=fused_off)
                 spmd_predict = spmd_predict_fn(model, self.mesh, n_pad,
-                                               rel_shards)
+                                               rel_shards,
+                                               fused_off=fused_off)
             else:
                 # GraphSAGE/GCN aggregate over the homo relation only: one
                 # row-block shard, same fast/plain/hub lanes
@@ -255,12 +271,13 @@ class Trainer:
         def _loss(params, batch, batch_labels, batch_weight, key, graph,
                   consts):
             if is_spmd:
-                xg, shards, _ = graph
+                xg, shards, _, fused_t = graph
                 if not is_pcgnn:
                     return homo_loss(params, xg, shards, batch, batch_labels,
                                      batch_weight, key)
                 return spmd_loss(params, xg, shards, batch, batch_labels,
-                                 batch_weight, consts["tp"], consts["tpv"])
+                                 batch_weight, consts["tp"], consts["tpv"],
+                                 fused_t)
             if is_pcgnn:
                 return model.loss(params, graph, batch, batch_labels,
                                   batch_weight, train_pos=consts["tp"],
@@ -366,11 +383,12 @@ class Trainer:
         # argument set.
         full = self.graph
         if is_spmd:
-            graph = (x_sharded, rel_shards, full.labels)
+            graph = (x_sharded, rel_shards, full.labels,
+                     fused if is_pcgnn else None)
             if is_pcgnn:
                 self.predict_fn = lambda p, batch: spmd_predict(
                     p, x_sharded, rel_shards, jnp.asarray(batch, jnp.int32),
-                    consts["tp"], consts["tpv"])
+                    consts["tp"], consts["tpv"], fused)
             else:
                 self.predict_fn = lambda p, batch: homo_predict(
                     p, x_sharded, rel_shards, jnp.asarray(batch, jnp.int32))
@@ -442,7 +460,13 @@ class Trainer:
 
     def train(self):
         cfg = self.config
-        params = self.model.init(jax.random.key(cfg["seed"]))
+        if getattr(self.model, "learn_features", False):
+            # trainable node table, initialized from the dataset features
+            # (the reference's nn.Embedding init, model_handler.py:85)
+            params = self.model.init(jax.random.key(cfg["seed"]),
+                                     features=self.graph.features)
+        else:
+            params = self.model.init(jax.random.key(cfg["seed"]))
         opt_state = self.tx.init(params)
         auc_best, f1_mac_best, epoch_best = 1e-10, 1e-10, 0
         start_epoch = 0

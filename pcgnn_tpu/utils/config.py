@@ -62,6 +62,12 @@ DEFAULTS = {
     "num_processes": None,
     "process_id": None,
     "mesh_data": None,
+    # PCGNN learned-feature variant: the node table trains as a parameter
+    # (nn.Embedding with requires_grad=True) through the dense mask-GEMM
+    # aggregation lane (ops.aggregate.scatter_batch_mask +
+    # masked_mean_aggregate).  Needs uncapped relations; disables the
+    # frozen-feature edge-window stores.
+    "learn_features": False,
     # model-selection protocol: "gain" = the reference's relative AUC+F1
     # gain rule on argmax predictions (model_handler.py:162-169); "f1" =
     # the (f1) variant — validation sweeps 100 thresholds for best F1,

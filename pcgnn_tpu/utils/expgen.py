@@ -23,6 +23,9 @@ DATASET_HP = {
     "amazon": dict(lr=0.005, weight_decay=0.0005, batch_size=256),
     "synthetic:yelp-like": dict(lr=0.01, weight_decay=0.001, batch_size=1024),
     "synthetic:amazon-like": dict(lr=0.005, weight_decay=0.0005, batch_size=256),
+    "synthetic:yelp-skew": dict(lr=0.01, weight_decay=0.001, batch_size=1024),
+    "synthetic:amazon_new-like": dict(lr=0.005, weight_decay=0.0005,
+                                      batch_size=256),
 }
 
 FIXED = dict(model="PCGNN", test_ratio=0.67, emb_size=64, epochs=1000,
@@ -56,8 +59,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out_dir", default="experiment_configs")
     ap.add_argument("--datasets", nargs="+", default=["yelp", "amazon_new"])
+    ap.add_argument("--train_ratios", nargs="+", type=float,
+                    default=TRAIN_RATIOS)
     args = ap.parse_args()
-    paths = generate(args.out_dir, datasets=args.datasets)
+    paths = generate(args.out_dir, datasets=args.datasets,
+                     train_ratios=args.train_ratios)
     print(f"wrote {len(paths)} configs to {args.out_dir}")
 
 

@@ -305,3 +305,34 @@ def test_dryrun_multichip_entry():
     fn, args = mod.entry()
     logits, center = jax.jit(fn)(*args)
     assert logits.shape == (64, 2) and center.shape == (64, 2)
+
+
+@pytest.mark.slow
+def test_spmd_fused_record_matches_plain_and_single(skew_setup):
+    """The sharded fused record table (build_sharded_fused: one row gather
+    for all relations' windows) must reproduce the per-relation-store SPMD
+    loss AND the single-chip loss bit-for-bit in values (same packed
+    words, same math)."""
+    from pcgnn_tpu.parallel.spmd import build_sharded_fused
+
+    g, model, params, labels, tp, tpv, batch = skew_setup
+    mesh = make_mesh(data=2, graph=4)
+    x_sharded, n_pad = pad_graph_for_mesh(g, mesh)
+    shards = shard_relations(g, mesh, n_pad, edge_windows=True)
+    fused, fused_off = build_sharded_fused(g, shards, mesh, n_pad)
+    assert fused is not None and fused.shape[0] == n_pad
+
+    b = int(batch.shape[0])
+    y = jnp.asarray(labels[np.asarray(batch)], jnp.int32)
+    w = jnp.ones((b,), jnp.float32)
+    batch_s, y_s, w_s = shard_batch(mesh, batch, y, w)
+
+    loss_plain = spmd_loss_fn(model, mesh, n_pad, shards)(
+        params, x_sharded, shards, batch_s, y_s, w_s, tp, tpv)
+    loss_fused = spmd_loss_fn(model, mesh, n_pad, shards,
+                              fused_off=fused_off)(
+        params, x_sharded, shards, batch_s, y_s, w_s, tp, tpv, fused)
+    ref = model.loss(params, g, batch, y, train_pos=tp, train_pos_valid=tpv)
+    np.testing.assert_allclose(float(loss_fused), float(loss_plain),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(loss_fused), float(ref), rtol=1e-4)
