@@ -22,8 +22,10 @@ batch is processed as fixed-shape array programs:
   4. ``scatter_batch_mask`` + ``masked_mean_aggregate`` — the dense
      ``[B, N]`` mask/GEMM form of the reference's
      ``mask.div(num_neigh).mm(embed_matrix)`` (``src/layers.py:612-624``);
-     kept as the cross-check oracle path and for future learned-feature
-     variants where gradients must flow into the feature table.
+     the cross-check oracle path AND the production lane of the
+     learned-feature variant (``models.pcgnn`` ``learn_features``):
+     the mask GEMM's VJP is itself a GEMM, so gradients flow into the
+     trainable node table.
 
 Selection is intentionally non-differentiable (as in the reference, where
 gradients reach ``label_clf`` only through the similarity loss).

@@ -49,7 +49,19 @@ scores come from an owner-pick psum of their feature rows); the per-row
 keep-minor mask is owner-computed (it needs the kept-window dedup,
 ``src/layers.py:694``) and published, and candidate feature partials are
 accumulated blockwise (``MINOR_CHUNK``) so wide candidate windows on skew
-graphs never materialize [B, M, F] or [B, M, D] at once.
+graphs never materialize [B, M, F] or [B, M, D] at once.  Hub rows'
+minors are selected exactly in-chunk over the sorted candidate table
+(``ops.hub.chunk_minor_band``; the graph-axis leader publishes the band).
+
+Collectives are BATCHED (round 5; the r4 1x1 profile showed each psum
+costing a shard_map program cut): one packed [Bd, 4R] owner-meta psum,
+one packed keep-minor psum across fast lanes, one packed [Bd, R(F+1)]
+output psum, and the relation-independent minor feature gather runs once
+for all relations.  The fast lane can fetch all relations' windows with
+ONE local row gather from the sharded fused record table
+(:func:`build_sharded_fused`), and with dg > 1 the per-relation DMA
+kernel skips non-owned rows entirely (predicated DMAs), so gather
+traffic is O(B/dg · D · F) per device.
 
 Loss: ``psum`` over the data axes inside the weighted CE mean; parameter
 grads reduce through shard_map's transpose of the replicated-in broadcast.
