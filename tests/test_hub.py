@@ -327,3 +327,27 @@ def test_trainer_trains_on_skew_preset():
         auc, recall, f1 = t.train()
     assert np.isfinite([auc, recall, f1]).all()
     assert 0.0 <= auc <= 1.0
+
+
+def test_keep_nearest_switch_matches_full_width():
+    """The adaptive-width hub sort (lax.switch over static widths) must
+    equal the full-width keep_nearest for every populated width jb — the
+    truncation is exact because beyond-degree slots are +inf and
+    keff <= deg <= jb*block."""
+    from pcgnn_tpu.ops.aggregate import keep_nearest
+    from pcgnn_tpu.ops.hub import keep_nearest_switch
+
+    rng = np.random.default_rng(7)
+    block, dh = 128, 2048
+    for jb_val in (0, 1, 2, 5, 16):
+        deg = rng.integers(0, max(jb_val * block, 1), 32)
+        dist = np.full((32, dh), np.inf, np.float32)
+        for i, d in enumerate(deg):
+            dist[i, :d] = np.round(rng.random(d), 2)  # ties included
+        kf = rng.integers(0, np.maximum(deg, 1) + 1).astype(np.int32)
+        want = keep_nearest(jnp.asarray(dist), jnp.asarray(kf),
+                            jnp.isfinite(jnp.asarray(dist)))
+        got = keep_nearest_switch(jnp.asarray(dist), jnp.asarray(kf),
+                                  jnp.int32(jb_val), block)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                      err_msg=f"jb={jb_val}")
