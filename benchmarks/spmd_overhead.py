@@ -58,11 +58,18 @@ def main():
                               nscan=args.nscan)
     single_ms = roofline.timed_ms(lambda: fn(*fargs)) / args.nscan
 
-    # SPMD on a 1x1 mesh: bf16 sharded edge-window store = the fast lane
+    # SPMD on a 1x1 mesh, configured exactly as Trainer._build_steps does
+    # for num_devices > 1: bf16 sharded edge-window store + the sharded
+    # fused record table (one row gather fetches every relation's window —
+    # without it the comparison charges the SPMD lane 3 per-relation DMA
+    # gathers the product never issues, which inflated the r4 "+28%")
     mesh = make_mesh(data=1, graph=1, devices=jax.devices()[:1])
     x_sharded, n_pad = pad_graph_for_mesh(t.graph, mesh)
     shards = shard_relations(t.graph, mesh, n_pad, ewin_dtype=jnp.bfloat16)
-    loss_fn = spmd_loss_fn(t.model, mesh, n_pad, shards)
+    from pcgnn_tpu.parallel.spmd import build_sharded_fused
+    fused, fused_off = build_sharded_fused(t.graph, shards, mesh, n_pad)
+    loss_fn = spmd_loss_fn(t.model, mesh, n_pad, shards,
+                           fused_off=fused_off)
     tx = torch_adam(cfg["lr"], cfg["weight_decay"])
     opt0 = tx.init(params)
     bj = jnp.asarray(batch, jnp.int32)
@@ -72,13 +79,13 @@ def main():
     tp, tpv = t.train_pos_dev, t.train_pos_valid
 
     @jax.jit
-    def spmd_stepn(params, opt_state, x_sharded, shards, bs, ys, ws, tp,
-                   tpv):
+    def spmd_stepn(params, opt_state, x_sharded, shards, fused, bs, ys, ws,
+                   tp, tpv):
         def body(carry, i):
             p, o = carry
             loss, grads = jax.value_and_grad(lambda q: loss_fn(
                 q, x_sharded, shards, jnp.roll(bs, i), jnp.roll(ys, i),
-                jnp.roll(ws, i), tp, tpv))(p)
+                jnp.roll(ws, i), tp, tpv, fused))(p)
             updates, o = tx.update(grads, o, p)
             return (optax.apply_updates(p, updates), o), loss
         (p, o), losses = jax.lax.scan(
@@ -87,7 +94,8 @@ def main():
         return p, o, losses[-1]
 
     spmd_ms = roofline.timed_ms(lambda: spmd_stepn(
-        params, opt0, x_sharded, shards, bs, ys, ws, tp, tpv)) / args.nscan
+        params, opt0, x_sharded, shards, fused, bs, ys, ws, tp,
+        tpv)) / args.nscan
 
     print(json.dumps({
         "metric": "spmd_1x1_step_overhead",
