@@ -37,6 +37,13 @@ def main():
     # by jax.profiler (see RESULTS.md)
     ap.add_argument("--epochs", type=int, default=48)
     ap.add_argument("--emb_size", type=int, default=64)
+    # stress presets pay ~9 min of synthetic-graph construction per run
+    # when built in an axon-backed process; build once on CPU
+    # (jax.config.update('jax_platforms', 'cpu')), pickle the numpy-leaved
+    # MultiRelGraph, and reuse it here.  Same arrays, same bench.
+    ap.add_argument("--graph_pickle", default=None,
+                    help="path to a pickled numpy-leaved MultiRelGraph "
+                    "for this preset (skips in-process graph build)")
     args = ap.parse_args()
 
     import jax
@@ -49,7 +56,15 @@ def main():
                epochs=args.epochs, valid_epochs=10 ** 9,  # no eval in bench
                batch_size=args.batch_size, patience=10 ** 9, exp_num=0)
 
-    t = Trainer(cfg)
+    graph = None
+    if args.graph_pickle:
+        import pickle
+
+        import jax.numpy as jnp
+        with open(args.graph_pickle, "rb") as f:
+            graph = jax.tree_util.tree_map(jnp.asarray, pickle.load(f))
+
+    t = Trainer(cfg, graph=graph)
     params = t.model.init(jax.random.key(0))
     opt_state = t.tx.init(params)
 
