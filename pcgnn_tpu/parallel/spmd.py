@@ -109,6 +109,19 @@ def data_axes(mesh: Mesh) -> tuple:
     return tuple(n for n in mesh.axis_names if n in ("dcn", "data"))
 
 
+def _data_psum(mesh: Mesh):
+    """Scalar psum over the data axes, an identity (elided at trace time)
+    when their total extent is 1 — same specialization rule as
+    :func:`_graph_collectives`."""
+    daxes = data_axes(mesh)
+    dsz = 1
+    for a in daxes:
+        dsz *= mesh.shape[a]
+    if dsz == 1:
+        return lambda v: v
+    return lambda v: jax.lax.psum(v, daxes)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ShardedRel:
@@ -417,6 +430,21 @@ def _owner_pick(mine, values, axis="graph"):
     return jax.lax.psum(z, axis)
 
 
+def _graph_collectives(dg: int):
+    """(psum_g, owner_pick) over the 'graph' axis, specialized at TRACE
+    time for ``dg == 1`` meshes (pure data-parallel — a production
+    configuration, not just the overhead bench's degenerate case): a
+    collective over a size-1 axis is an identity, and skipping it lets
+    XLA fuse what the shard_map program would otherwise materialize
+    around self-copies.  The dg == 1 owner_pick keeps the zeroing of
+    non-owned rows (bit-identical values, e.g. invalid train_pos rows),
+    only the psum is elided."""
+    if dg == 1:
+        return (lambda v: v), (lambda mine, values: jnp.where(
+            mine if values.ndim == 1 else mine[:, None], values, 0))
+    return (lambda v: jax.lax.psum(v, "graph")), _owner_pick
+
+
 def _block_partials(ids, keep, col_lo, block, x_local):
     """Gather-based partial sums over this device's feature-row block:
     (partial_num [B, F], partial_cnt [B]) for the kept ids in the block.
@@ -640,6 +668,7 @@ def spmd_forward_fn(model: PCGNN, mesh: Mesh, n_pad: int, shards: tuple,
     dg = mesh.shape["graph"]
     rho = model.rho
     daxes = data_axes(mesh)
+    psum_g, owner_pick = _graph_collectives(dg)
     use_fused = bool(fused_off)
     # selection-precision rule (models.pcgnn sel_round): packed stores
     # rank the bf16-rounded feature snapshot everywhere
@@ -678,7 +707,7 @@ def spmd_forward_fn(model: PCGNN, mesh: Mesh, n_pad: int, shards: tuple,
             rec = fused[lclip]                                 # [Bd, W]
 
         # self feature rows, reduced over the graph axis
-        self_feats = _owner_pick(mine, x_local[lclip])         # [Bd, F]
+        self_feats = owner_pick(mine, x_local[lclip])          # [Bd, F]
         center_scores = jnp.dot(self_feats, clf["w"], precision="highest",
                                 preferred_element_type=jnp.float32) + clf["b"]
 
@@ -691,15 +720,16 @@ def spmd_forward_fn(model: PCGNN, mesh: Mesh, n_pad: int, shards: tuple,
         # the similarity loss, src/model.py:54-61)
         center_s0 = jax.lax.stop_gradient(s0_of(self_feats))   # [Bd]
         if need_table:
-            s0_full = jax.lax.all_gather(
-                s0_of(x_local), "graph", axis=0, tiled=True)   # [N_pad]
+            # dg == 1: this device's block IS the whole table
+            s0_full = (s0_of(x_local) if dg == 1 else jax.lax.all_gather(
+                s0_of(x_local), "graph", axis=0, tiled=True))  # [N_pad]
 
         if train:
             # candidate selection is replicated: train-positive feature
             # rows via one owner-pick psum, scored with the shared rule
             tp_local = train_pos - col_lo
             tp_mine = (tp_local >= 0) & (tp_local < block) & train_pos_valid
-            tp_feats = _owner_pick(tp_mine, x_local[jnp.clip(
+            tp_feats = owner_pick(tp_mine, x_local[jnp.clip(
                 tp_local, 0, block - 1)])                      # [P, F]
             tp_s0 = s0_of(tp_feats)
             m_max = model.minor_window(int(train_pos.shape[0]), shards)
@@ -732,7 +762,7 @@ def spmd_forward_fn(model: PCGNN, mesh: Mesh, n_pad: int, shards: tuple,
             cols += [sh.deg[lclip], sh.keff[lclip], sh.ksample[lclip],
                      (sh.hub_idx[lclip] if sh.has_hubs
                       else jnp.zeros_like(lclip))]
-        meta_all = _owner_pick(mine, jnp.stack(cols, axis=1))  # [Bd, 4R]
+        meta_all = owner_pick(mine, jnp.stack(cols, axis=1))   # [Bd, 4R]
 
         rel_sums = []    # per relation (num, cnt, pending keep_minor)
         km_defer = []    # (index into rel_sums, owner-local km) fast lanes
@@ -802,7 +832,7 @@ def spmd_forward_fn(model: PCGNN, mesh: Mesh, n_pad: int, shards: tuple,
                 dist = jnp.where(valid_o, dist, _INF)
                 keep = keep_nearest(dist, keff_b, valid_o)
                 enc = jnp.where(keep, nbr_mine + 1, 0)         # 0 = not kept
-                enc = jax.lax.psum(enc, "graph")               # [Bd, D]
+                enc = psum_g(enc)                              # [Bd, D]
                 kept_ids = enc - 1
                 kept = enc > 0
                 num, cnt = _block_partials(kept_ids, kept, col_lo, block,
@@ -828,7 +858,7 @@ def spmd_forward_fn(model: PCGNN, mesh: Mesh, n_pad: int, shards: tuple,
             m_w = cand_ids.shape[1]
             packed = jnp.concatenate(
                 [km.astype(jnp.int32) for _, km in km_defer], axis=1)
-            packed = jax.lax.psum(packed, "graph") > 0
+            packed = psum_g(packed) > 0
             for j, (r, _) in enumerate(km_defer):
                 rel_sums[r][2] = packed[:, j * m_w: (j + 1) * m_w]
 
@@ -846,7 +876,7 @@ def spmd_forward_fn(model: PCGNN, mesh: Mesh, n_pad: int, shards: tuple,
         packed = jnp.concatenate(
             [jnp.concatenate([num, cnt[:, None]], axis=1)
              for num, cnt, _ in rel_sums], axis=1)             # [Bd, R(F+1)]
-        packed = jax.lax.psum(packed, "graph")
+        packed = psum_g(packed)
 
         rel_embs = []
         for r in range(len(shards)):
@@ -945,6 +975,7 @@ def spmd_homo_forward_fn(model, mesh: Mesh, n_pad: int, sh: ShardedRel,
     block = n_pad // mesh.shape["graph"]
     dg = mesh.shape["graph"]
     daxes = data_axes(mesh)
+    psum_g, owner_pick = _graph_collectives(dg)
     is_gcn = isinstance(model, GCN)
     norm = "sqrt" if is_gcn else "mean"
     gcn_style = True if is_gcn else model.gcn_style
@@ -974,10 +1005,10 @@ def spmd_homo_forward_fn(model, mesh: Mesh, n_pad: int, sh: ShardedRel,
         mine = (local >= 0) & (local < block)
         lclip = jnp.clip(local, 0, block - 1)
 
-        self_feats = _owner_pick(mine, x_local[lclip])         # [Bd, F]
+        self_feats = owner_pick(mine, x_local[lclip])          # [Bd, F]
         cols = [sh.deg[lclip],
                 (sh.hub_idx[lclip] if sh.has_hubs else jnp.zeros_like(lclip))]
-        meta = _owner_pick(mine, jnp.stack(cols, axis=1))
+        meta = owner_pick(mine, jnp.stack(cols, axis=1))
         deg_b, hslot = meta[:, 0], meta[:, 1]
         is_hub = (deg_b > d) if sh.has_hubs else None
         offs = jax.lax.broadcasted_iota(jnp.int32, (batch.shape[0], d), 1)
@@ -1020,7 +1051,7 @@ def spmd_homo_forward_fn(model, mesh: Mesh, n_pad: int, sh: ShardedRel,
         else:
             # plain lane: publish kept ids, partial-sum features per block
             enc = jnp.where(valid_o, nbr_mine + 1, 0)
-            enc = jax.lax.psum(enc, "graph")
+            enc = psum_g(enc)
             kept_ids, kept = enc - 1, enc > 0
             num, cnt = _block_partials(kept_ids, kept, col_lo, block,
                                        x_local)
@@ -1039,8 +1070,8 @@ def spmd_homo_forward_fn(model, mesh: Mesh, n_pad: int, sh: ShardedRel,
                                           include_self=gcn_style)
             num, cnt = num + h_num, cnt + h_cnt
 
-        num = jax.lax.psum(num, "graph")
-        cnt = jax.lax.psum(cnt, "graph")
+        num = psum_g(num)
+        cnt = psum_g(cnt)
         denom = jnp.maximum(cnt, 1.0)
         if norm == "sqrt":
             denom = jnp.sqrt(denom)
@@ -1067,10 +1098,11 @@ def spmd_homo_loss_fn(model, mesh: Mesh, n_pad: int, sh: ShardedRel):
     CE over the data axes (``src/graphsage.py:36-39,176-178``)."""
     fwd = spmd_homo_forward_fn(model, mesh, n_pad, sh, train=True)
     daxes = data_axes(mesh)
+    psum_d = _data_psum(mesh)
 
     def mean_over_data(ce, w):
-        num = jax.lax.psum(jnp.sum(ce * w), daxes)
-        den = jax.lax.psum(jnp.sum(w), daxes)
+        num = psum_d(jnp.sum(ce * w))
+        den = psum_d(jnp.sum(w))
         return num / jnp.maximum(den, 1.0)
 
     reduce_ = shard_map(mean_over_data, mesh=mesh,
@@ -1125,11 +1157,12 @@ def spmd_loss_fn(model: PCGNN, mesh: Mesh, n_pad: int, shards: tuple,
     fwd = spmd_forward_fn(model, mesh, n_pad, shards, train=True,
                           fused_off=fused_off)
     daxes = data_axes(mesh)
+    psum_d = _data_psum(mesh)
     placeholder = _fused_placeholder(mesh, n_pad)
 
     def mean_over_data(ce_joint, w):
-        num = jax.lax.psum(jnp.sum(ce_joint * w), daxes)
-        den = jax.lax.psum(jnp.sum(w), daxes)
+        num = psum_d(jnp.sum(ce_joint * w))
+        den = psum_d(jnp.sum(w))
         return num / jnp.maximum(den, 1.0)
 
     reduce_ = shard_map(mean_over_data, mesh=mesh,

@@ -75,6 +75,29 @@ def test_structure_is_sharded(setup):
                 f"array not 1/4-sharded: {per_dev} * 4 != {total}")
 
 
+def test_dg1_mesh_elides_graph_collectives(setup):
+    """A (data, graph=1) mesh is pure data-parallel: every collective over
+    the size-1 'graph' axis is an identity, so the traced SPMD loss must
+    contain NONE of them (spmd._graph_collectives trace-time
+    specialization) — the loss-mean psum over ('data',) remains.  Value
+    parity for this mesh is test_spmd_loss_matches_single_device[8-1]."""
+    g, model, params, labels, tp, tpv = setup
+    mesh = make_mesh(data=8, graph=1)
+    x_sharded, n_pad = pad_graph_for_mesh(g, mesh)
+    shards = shard_relations(g, mesh, n_pad)
+    loss_fn = spmd_loss_fn(model, mesh, n_pad, shards)
+    batch = jnp.arange(64, dtype=jnp.int32)
+    y = jnp.asarray(labels[:64], jnp.int32)
+    w = jnp.ones((64,), jnp.float32)
+    bs, ys, ws = shard_batch(mesh, batch, y, w)
+    jaxpr = str(jax.make_jaxpr(loss_fn)(
+        params, x_sharded, shards, bs, ys, ws, tp, tpv))
+    hits = [ln for ln in jaxpr.splitlines()
+            if ("psum" in ln or "all_gather" in ln) and "graph" in ln]
+    assert not hits, f"graph-axis collectives on a dg==1 mesh: {hits[:3]}"
+    assert "psum" in jaxpr  # the data-axis loss mean is still a psum
+
+
 def test_spmd_predict_matches_single_device(setup):
     g, model, params, labels, tp, tpv = setup
     mesh = make_mesh(data=4, graph=2)
